@@ -1,0 +1,13 @@
+"""Test config: force a virtual 8-device CPU platform before JAX loads.
+
+Multi-chip behavior (DP mesh, psum grads, sharded eval) is validated on a
+host-platform mesh, as real multi-chip hardware isn't present in CI.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
