@@ -41,7 +41,11 @@ def distance_matrix(queries: Array, anchors: Array, eps: float = 1e-8) -> Array:
     """(Q, D) x (A, D) -> (Q, A) cosine distance matrix, one MXU matmul."""
     q = l2_normalize(queries.astype(jnp.float32), eps=eps)
     a = l2_normalize(anchors.astype(jnp.float32), eps=eps)
-    sim = jnp.dot(q, a.T, preferred_element_type=jnp.float32)
+    # precision='highest': full-fp32 accumulation (bf16x3 passes on the MXU).
+    # Cosine distances between normalized embeddings live in [0, 2]; default
+    # reduced-precision matmul can flip near-tie neighbor rankings.
+    sim = jnp.dot(q, a.T, preferred_element_type=jnp.float32,
+                  precision="highest")
     return 1.0 - sim
 
 
