@@ -1,0 +1,87 @@
+"""Shared flax building blocks.
+
+Conventions: NHWC activations, HWIO conv kernels (use
+cvpce_tpu.utils.torch_import to convert torch OIHW checkpoints).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jnp.ndarray
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with permanently frozen statistics and affine params.
+
+    Equivalent of torchvision's FrozenBatchNorm2d, which the reference uses
+    for the whole GLN backbone (cvpce/models/proposals.py:184). All four
+    tensors live in the 'frozen' variable collection, so nothing here is
+    trainable and nothing updates — matching torch buffers.
+    """
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.variable("frozen", "scale",
+                              lambda: jnp.ones(self.features, jnp.float32))
+        bias = self.variable("frozen", "bias",
+                             lambda: jnp.zeros(self.features, jnp.float32))
+        mean = self.variable("frozen", "mean",
+                             lambda: jnp.zeros(self.features, jnp.float32))
+        var = self.variable("frozen", "var",
+                            lambda: jnp.ones(self.features, jnp.float32))
+        inv = scale.value / jnp.sqrt(var.value + self.eps)
+        return x * inv + (bias.value - mean.value * inv)
+
+
+class BatchNorm(nn.Module):
+    """Standard BN wrapper with torch-compatible defaults (momentum 0.9 in
+    flax terms == torch momentum 0.1; eps 1e-5)."""
+    features: int
+    use_running_average: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+
+
+def conv(features: int, kernel: int, strides: int = 1, use_bias: bool = False,
+         name: Optional[str] = None, padding: Optional[int] = None) -> nn.Conv:
+    """3x3/1x1/7x7 conv with torch-style symmetric padding."""
+    if padding is None:
+        padding = kernel // 2
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(strides, strides),
+        padding=[(padding, padding), (padding, padding)],
+        use_bias=use_bias,
+        name=name,
+        dtype=jnp.float32,
+    )
+
+
+def max_pool(x: Array, window: int, strides: int, padding: int = 0) -> Array:
+    """Torch-style max pool (symmetric int padding, -inf fill)."""
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return nn.max_pool(
+        x, (window, window), strides=(strides, strides),
+        padding=[(padding, padding), (padding, padding)],
+    )
+
+
+def upsample_nearest_2x(x: Array) -> Array:
+    """2x nearest-neighbor upsample (torch nn.Upsample(scale_factor=2))."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)

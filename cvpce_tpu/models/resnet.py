@@ -1,0 +1,101 @@
+"""ResNet-50 trunk in flax (NHWC), torch-checkpoint importable.
+
+GLN's backbone is torchvision resnet50 with FrozenBatchNorm
+(cvpce/models/proposals.py:183-191); DIHE's MACResNet wraps the same trunk
+with regular BN (cvpce/models/classification.py:111-121). This module
+provides both via `norm`: 'frozen' (inference-frozen stats, nothing
+trainable) or 'batch' (flax BatchNorm with batch_stats).
+
+Returns the per-stage feature maps C1..C5; consumers pick what they need
+(FPN uses C2..C5, the Gaussian branch taps C2, MACResNet pools stage
+outputs).
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import FrozenBatchNorm, conv, max_pool
+
+Array = jnp.ndarray
+
+RESNET50_STAGES = (3, 4, 6, 3)
+STAGE_FEATURES = (64, 128, 256, 512)  # bottleneck inner widths
+
+
+class _Norm(nn.Module):
+    features: int
+    kind: str = "frozen"  # 'frozen' | 'batch' | 'none'
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.kind == "frozen":
+            return FrozenBatchNorm(self.features, name="fbn")(x)
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=not self.train, momentum=0.9,
+                epsilon=1e-5, name="bn",
+            )(x)
+        if self.kind == "none":
+            return x
+        raise ValueError(self.kind)
+
+
+class Bottleneck(nn.Module):
+    features: int          # inner width; output is features * 4
+    strides: int = 1
+    downsample: bool = False
+    norm: str = "frozen"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        residual = x
+        y = conv(self.features, 1, name="conv1")(x)
+        y = _Norm(self.features, self.norm, self.train, name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.features, 3, strides=self.strides, name="conv2")(y)
+        y = _Norm(self.features, self.norm, self.train, name="bn2")(y)
+        y = nn.relu(y)
+        y = conv(self.features * 4, 1, name="conv3")(y)
+        y = _Norm(self.features * 4, self.norm, self.train, name="bn3")(y)
+        if self.downsample:
+            residual = conv(self.features * 4, 1, strides=self.strides,
+                            name="downsample_conv")(x)
+            residual = _Norm(self.features * 4, self.norm, self.train,
+                             name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    norm: str = "frozen"
+    train: bool = False
+    stages: Sequence[int] = RESNET50_STAGES
+
+    @nn.compact
+    def __call__(self, x: Array) -> Dict[str, Array]:
+        y = conv(64, 7, strides=2, name="conv1")(x)
+        y = _Norm(64, self.norm, self.train, name="bn1")(y)
+        y = nn.relu(y)
+        c1 = y
+        y = max_pool(y, 3, 2, padding=1)
+
+        feats = {"c1": c1}
+        for stage_i, (blocks, width) in enumerate(
+            zip(self.stages, STAGE_FEATURES)
+        ):
+            strides = 1 if stage_i == 0 else 2
+            for block_i in range(blocks):
+                y = Bottleneck(
+                    width,
+                    strides=strides if block_i == 0 else 1,
+                    downsample=block_i == 0,
+                    norm=self.norm,
+                    train=self.train,
+                    name=f"layer{stage_i + 1}_{block_i}",
+                )(y)
+            feats[f"c{stage_i + 2}"] = y
+        return feats
