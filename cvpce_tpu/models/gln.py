@@ -1,0 +1,257 @@
+"""GLN — Gaussian Layer Network: class-agnostic product detector.
+
+TPU-native re-design of the reference's GaussianLayerNetwork
+(cvpce/models/proposals.py:109-203): a RetinaNet (ResNet-50 FPN backbone,
+shared conv heads, focal loss) extended with a Gaussian heatmap branch fed
+from C2 + P3. Differences from the torch original are deliberate TPU
+choices:
+
+- static input canvas (H, W divisible by 64) instead of dynamic per-batch
+  padding; per-image content sizes ride along as data,
+- fixed-shape postprocessing (per-level static top-k, masked score
+  threshold, O(N^2) mask NMS, static detections_per_img output),
+- losses are pure functions over padded gt (see train/gln.py), not module
+  state; the heatmap is returned, never stashed (the reference mutates
+  `self.gaussians` — proposals.py:125-137 — which has no place in jit).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import anchors as anchor_ops
+from ..ops.boxes import decode_boxes
+from ..ops.nms import nms_mask
+from .fpn import FPN
+from .layers import conv, upsample_nearest_2x
+from .resnet import ResNet50
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class GLNConfig:
+    canvas_h: int = 832
+    canvas_w: int = 1344
+    num_classes: int = 1
+    tanh: bool = False
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    topk_candidates: int = 1000      # per level, pre-NMS
+    detections_per_img: int = 1000   # cvpce/models/proposals.py:164-165
+    max_nms_candidates: int = 2000   # device NMS budget across levels
+    # anchor box-coder weights (torchvision RetinaNet uses all-ones)
+    box_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+
+    def anchors(self) -> Tuple[np.ndarray, List[int]]:
+        return anchor_ops.grid_anchors(self.canvas_h, self.canvas_w)
+
+
+def _head_kernel_init():
+    return nn.initializers.normal(stddev=0.01)
+
+
+class _ConvTower(nn.Module):
+    """4x (3x3 conv 256 + ReLU), shared across pyramid levels."""
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i in range(4):
+            x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                        kernel_init=_head_kernel_init(),
+                        bias_init=nn.initializers.zeros,
+                        name=f"conv_{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class RetinaNetHead(nn.Module):
+    num_classes: int = 1
+    num_anchors: int = 9
+    prior_probability: float = 0.01
+
+    @nn.compact
+    def __call__(self, features: Sequence[Array]) -> Tuple[Array, Array]:
+        cls_tower = _ConvTower(name="cls_tower")
+        reg_tower = _ConvTower(name="reg_tower")
+        bias_value = -math.log(
+            (1 - self.prior_probability) / self.prior_probability
+        )
+        cls_logits = nn.Conv(
+            self.num_anchors * self.num_classes, (3, 3),
+            padding=[(1, 1), (1, 1)],
+            kernel_init=_head_kernel_init(),
+            bias_init=nn.initializers.constant(bias_value),
+            name="cls_logits",
+        )
+        bbox_reg = nn.Conv(
+            self.num_anchors * 4, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=_head_kernel_init(),
+            bias_init=nn.initializers.zeros,
+            name="bbox_reg",
+        )
+
+        logits_all = []
+        regs_all = []
+        for f in features:
+            b = f.shape[0]
+            logits = cls_logits(cls_tower(f))
+            regs = bbox_reg(reg_tower(f))
+            # (B, H, W, A*K) -> (B, H*W*A, K): same (y, x, anchor) flatten
+            # order as the anchor grid and torchvision's permute+reshape.
+            logits_all.append(logits.reshape(b, -1, self.num_classes))
+            regs_all.append(regs.reshape(b, -1, 4))
+        return (jnp.concatenate(logits_all, axis=1),
+                jnp.concatenate(regs_all, axis=1))
+
+
+class GaussianBranch(nn.Module):
+    """Gaussian heatmap head: C2 lateral + 2x-upsampled P3 -> conv-BN-ReLU
+    pyramid -> subnet -> half-resolution heatmap
+    (cvpce/models/proposals.py:51-107)."""
+    tanh: bool = False
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, c2: Array, p3: Array) -> Array:
+        def bn(x, name):
+            return nn.BatchNorm(use_running_average=not self.train,
+                                momentum=0.9, epsilon=1e-5, name=name)(x)
+
+        relu_init = nn.initializers.kaiming_normal()
+        xavier = nn.initializers.xavier_normal()
+
+        lat = nn.Conv(256, (1, 1), kernel_init=xavier,
+                      bias_init=nn.initializers.zeros, name="lateral")(c2)
+        x = lat + upsample_nearest_2x(p3)
+        x = nn.relu(bn(nn.Conv(128, (3, 3), padding=[(1, 1), (1, 1)],
+                               kernel_init=relu_init, name="block1_conv")(x),
+                       "block1_bn"))
+        x = nn.relu(bn(nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)],
+                               kernel_init=relu_init, name="block2_conv")(x),
+                       "block2_bn"))
+        x = upsample_nearest_2x(x)
+
+        # GaussianSubnet: 64->32->32->16->16->1
+        spec = [(32, 3), (32, 3), (16, 3), (16, 1)]
+        for i, (ch, k) in enumerate(spec):
+            pad = [(k // 2, k // 2)] * 2
+            x = nn.relu(nn.Conv(ch, (k, k), padding=pad,
+                                kernel_init=relu_init,
+                                name=f"subnet_{i}")(x))
+        final_init = (nn.initializers.xavier_normal() if self.tanh
+                      else nn.initializers.kaiming_normal())
+        x = nn.Conv(1, (1, 1), kernel_init=final_init, name="subnet_4")(x)
+        return jnp.tanh(x) if self.tanh else nn.relu(x)
+
+
+class GLN(nn.Module):
+    """Full detector. Returns head outputs + heatmap; no losses inside."""
+    config: GLNConfig = GLNConfig()
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, images: Array) -> Dict[str, Array]:
+        feats = ResNet50(norm="frozen", name="body")(images)
+        pyramid = FPN(name="fpn")(feats["c3"], feats["c4"], feats["c5"])
+        heatmap = GaussianBranch(
+            tanh=self.config.tanh, train=self.train, name="gaussian"
+        )(feats["c2"], pyramid[0])
+        cls_logits, bbox_regression = RetinaNetHead(
+            num_classes=self.config.num_classes, name="head"
+        )(pyramid)
+        return {
+            "cls_logits": cls_logits,          # (B, A, K)
+            "bbox_regression": bbox_regression,  # (B, A, 4)
+            "gaussians": heatmap,               # (B, H/2, W/2, 1)
+        }
+
+
+def postprocess_detections(
+    outputs: Dict[str, Array],
+    anchors: Array,
+    level_counts: Sequence[int],
+    image_sizes: Array,
+    config: GLNConfig,
+) -> Dict[str, Array]:
+    """Fixed-shape detection decoding (torchvision postprocess semantics:
+    per-level score threshold + top-k, decode, clip, cross-level NMS, keep
+    detections_per_img).
+
+    Args:
+      outputs: GLN forward outputs.
+      anchors: (A, 4) canvas anchors.
+      level_counts: per-level anchor counts (static).
+      image_sizes: (B, 2) content (h, w) inside the canvas per image.
+
+    Returns dict with 'boxes' (B, D, 4), 'scores' (B, D), 'valid' (B, D),
+    D = detections_per_img; plus 'gaussians' passthrough
+    (cvpce/models/proposals.py:176-181 attaches heatmaps to eval results).
+    """
+    cfg = config
+    num_classes = cfg.num_classes
+
+    def per_image(logits, regs, size_hw):
+        level_boxes = []
+        level_scores = []
+        level_valid = []
+        start = 0
+        for count in level_counts:
+            l_logits = jax.lax.dynamic_slice_in_dim(logits, start, count, 0)
+            l_regs = jax.lax.dynamic_slice_in_dim(regs, start, count, 0)
+            l_anchors = jax.lax.dynamic_slice_in_dim(anchors, start, count, 0)
+            scores = jax.nn.sigmoid(l_logits).reshape(-1)  # (count*K,)
+            k = min(cfg.topk_candidates, count * num_classes)
+            top_scores, top_idx = jax.lax.top_k(scores, k)
+            anchor_idx = top_idx // num_classes
+            boxes = decode_boxes(l_regs[anchor_idx], l_anchors[anchor_idx],
+                                 cfg.box_weights)
+            h, w = size_hw[0], size_hw[1]
+            x1 = jnp.clip(boxes[:, 0], 0, w)
+            y1 = jnp.clip(boxes[:, 1], 0, h)
+            x2 = jnp.clip(boxes[:, 2], 0, w)
+            y2 = jnp.clip(boxes[:, 3], 0, h)
+            boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+            level_boxes.append(boxes)
+            level_scores.append(top_scores)
+            level_valid.append(top_scores > cfg.score_thresh)
+            start += count
+
+        boxes = jnp.concatenate(level_boxes, 0)
+        scores = jnp.concatenate(level_scores, 0)
+        valid = jnp.concatenate(level_valid, 0)
+
+        # Bound NMS cost: keep the best max_nms_candidates across levels.
+        c = min(cfg.max_nms_candidates, boxes.shape[0])
+        cand_scores, cand_idx = jax.lax.top_k(
+            jnp.where(valid, scores, -jnp.inf), c
+        )
+        cand_boxes = boxes[cand_idx]
+        cand_valid = jnp.isfinite(cand_scores)
+        cand_scores = jnp.where(cand_valid, cand_scores, 0.0)
+
+        keep = nms_mask(cand_boxes, cand_scores, cand_valid, cfg.nms_thresh)
+        kept_scores = jnp.where(keep, cand_scores, -jnp.inf)
+        d = min(cfg.detections_per_img, c)
+        out_scores, out_idx = jax.lax.top_k(kept_scores, d)
+        out_valid = jnp.isfinite(out_scores)
+        return (cand_boxes[out_idx],
+                jnp.where(out_valid, out_scores, 0.0),
+                out_valid)
+
+    boxes, scores, valid = jax.vmap(per_image)(
+        outputs["cls_logits"], outputs["bbox_regression"], image_sizes
+    )
+    return {
+        "boxes": boxes,
+        "scores": scores,
+        "valid": valid,
+        "gaussians": outputs["gaussians"],
+    }

@@ -1,0 +1,70 @@
+"""Device-mesh data parallelism.
+
+TPU-native replacement for the reference's distributed stack
+(DDP + NCCL + file rendezvous + DistributedSampler,
+cvpce/proposals_training.py:191-196, SURVEY.md §2.8): a 1-D
+`jax.sharding.Mesh` over all chips with the batch sharded on the 'data'
+axis and parameters replicated. The gradient all-reduce that DDP performs
+in backward hooks is inserted by XLA from the sharding annotations and
+rides the ICI; multi-host DCN is handled by the JAX runtime. `dist.barrier`
+has no equivalent — program order and `block_until_ready` cover it.
+
+The reference's only parallelism is DP (SURVEY.md §2.8); spatial sharding
+of the FPN for very large images would layer on the same mesh as a second
+axis.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_parallel_mesh(devices: Optional[Sequence] = None,
+                       axis: str = "data") -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def make_dp_train_step(train_step: Callable, mesh: Mesh,
+                       donate_state: bool = True) -> Callable:
+    """Wrap a (state, *batch_arrays) -> (state, metrics) step for DP.
+
+    State/params replicated, every batch array sharded on its leading axis.
+    XLA turns the mean-over-batch gradients into an ICI all-reduce.
+    """
+    repl = replicate(mesh)
+    data = shard_batch(mesh)
+
+    def spec_like(replicated, tree):
+        return jax.tree.map(lambda _: replicated, tree)
+
+    jitted = jax.jit(
+        train_step,
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+    def step(state, *batch):
+        state = jax.device_put(state, repl)
+        batch = tuple(jax.device_put(b, data) for b in batch)
+        return jitted(state, *batch)
+
+    return step
+
+
+def put_replicated(tree, mesh: Mesh):
+    return jax.device_put(tree, replicate(mesh))
+
+
+def put_sharded(tree, mesh: Mesh):
+    return jax.device_put(tree, shard_batch(mesh))
