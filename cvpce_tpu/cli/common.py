@@ -1,0 +1,79 @@
+"""Shared CLI helpers: weight loading for GLN/embedder from either torch
+reference checkpoints or our orbax checkpoints."""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.embedders import MACVGG
+from ..models.gln import GLN, GLNConfig
+
+
+def load_gln_variables(weights: Optional[str], config: GLNConfig) -> Dict:
+    """Build GLN variables: random init, or imported from a torch
+    checkpoint produced by the reference (cvpce/proposals_eval.py:9-17
+    analogue)."""
+    model = GLN(config=config, train=False)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, config.canvas_h, config.canvas_w, 3), jnp.float32))
+    if weights is None:
+        return variables
+    from ..utils.torch_import import import_gln, load_state_dict
+
+    sd = load_state_dict(weights)
+    imported = import_gln(sd)
+    return _merge(variables, imported)
+
+
+def load_embedder(weights: Optional[str], batch_norm: bool = True):
+    """Returns (encoder_fn, embedding_size). Accepts a torchvision
+    vgg16(_bn) state_dict or a reference MACVGG embedder checkpoint."""
+    model = MACVGG(batch_norm=batch_norm, train=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32))
+    if weights is not None:
+        from ..utils.torch_import import (import_vgg16_features,
+                                          load_state_dict)
+
+        sd = load_state_dict(weights)
+        if any(k.startswith("features.") for k in sd):
+            imported = import_vgg16_features(sd, batch_norm=batch_norm)
+        elif any(k.startswith("block1.") for k in sd):
+            # reference MACVGG checkpoint: block1.<i>... / block2.<i>...
+            # with torchvision feature indices preserved
+            remapped = {}
+            for k, v in sd.items():
+                if k.startswith("block1."):
+                    remapped["features." + k[len("block1."):]] = v
+                elif k.startswith("block2."):
+                    remapped["features." + k[len("block2."):]] = v
+            imported = import_vgg16_features(remapped, batch_norm=batch_norm)
+        else:
+            raise ValueError("unrecognized embedder checkpoint layout")
+        variables = _merge(variables, imported)
+
+    @jax.jit
+    def encode(imgs):
+        return model.apply(variables, imgs)
+
+    return encode, model.embedding_size
+
+
+def _merge(base: Dict, update: Dict) -> Dict:
+    """Recursively overlay `update` onto `base`, requiring matching
+    shapes."""
+    out = dict(base)
+    for k, v in update.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            if k in out and hasattr(out[k], "shape"):
+                assert np.shape(out[k]) == np.shape(v), (
+                    f"shape mismatch for {k}: {np.shape(out[k])} vs "
+                    f"{np.shape(v)}")
+            out[k] = jnp.asarray(v)
+    return out

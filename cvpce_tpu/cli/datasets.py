@@ -1,0 +1,203 @@
+"""`datasets` command group: inspection/visualization utilities
+(reference: cvpce/cli/datasets/*)."""
+from __future__ import annotations
+
+import click
+import numpy as np
+
+from ..data import defaults
+
+
+@click.group()
+def datasets():
+    """Dataset inspection and visualization."""
+
+
+def _save_boxes_viz(img, boxes, out, labels=None):
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import patches, pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(12, 9))
+    ax.imshow(img)
+    for i, (x1, y1, x2, y2) in enumerate(np.asarray(boxes)):
+        ax.add_patch(patches.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                       fill=False, edgecolor="lime"))
+        if labels is not None:
+            ax.text(x1, y1, str(labels[i]), color="yellow", fontsize=6)
+    ax.axis("off")
+    fig.savefig(out, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+    click.echo(f"saved {out}")
+
+
+@datasets.group()
+def sku110k():
+    """SKU-110K (cvpce/cli/datasets/sku110k.py)."""
+
+
+@sku110k.command("visualize")
+@click.option("--imgs", default=defaults.SKU110K_IMG_DIR, show_default=True)
+@click.option("--annotations", default=defaults.SKU110K_ANNOTATION_FILE,
+              show_default=True)
+@click.option("--index", default=0, show_default=True)
+@click.option("--out", required=True)
+@click.option("--gaussians", is_flag=True,
+              help="also render the heatmap target")
+def sku_visualize(imgs, annotations, index, out, gaussians):
+    from ..data.sku110k import SKU110KDataset
+
+    ds = SKU110KDataset(imgs, annotations, flip_chance=0.0)
+    img, boxes = ds.load_raw(index)
+    _save_boxes_viz(img, boxes, out)
+    if gaussians:
+        from ..ops.gaussians import render_gaussians
+
+        hm = np.asarray(render_gaussians(
+            boxes, np.ones(len(boxes), bool),
+            height=img.shape[0], width=img.shape[1], method="simple"))
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        plt.imsave(out.replace(".png", "_gauss.png"), hm, cmap="hot")
+
+
+@sku110k.command("iter")
+@click.option("--imgs", default=defaults.SKU110K_IMG_DIR, show_default=True)
+@click.option("--annotations", default=defaults.SKU110K_ANNOTATION_FILE,
+              show_default=True)
+def sku_iter(imgs, annotations):
+    """Iterate the dataset checking loadability
+    (cvpce/cli/datasets/sku110k.py iter)."""
+    from ..data.sku110k import SKU110KDataset
+
+    ds = SKU110KDataset(imgs, annotations, flip_chance=0.0)
+    for i in range(len(ds)):
+        try:
+            ds.load_raw(i)
+        except Exception as e:  # noqa: BLE001
+            click.echo(f"FAIL {ds.index[i]['image_name']}: {e}")
+        if i % 100 == 0:
+            click.echo(f"{i}/{len(ds)}")
+
+
+@datasets.group()
+def gp():
+    """Grocery Products (cvpce/cli/datasets/gp.py)."""
+
+
+@gp.command("visualize-test")
+@click.option("--imgs", default=defaults.GP_TEST_DIR, show_default=True)
+@click.option("--annotations", default=defaults.GP_ANN_DIR,
+              show_default=True)
+@click.option("--index", default=0, show_default=True)
+@click.option("--out", required=True)
+def gp_visualize_test(imgs, annotations, index, out):
+    from ..data.grocery import GroceryProductsTestSet
+
+    ds = GroceryProductsTestSet(imgs, annotations)
+    img, anns, boxes = ds[index]
+    _save_boxes_viz(img, boxes, out, labels=anns)
+
+
+@gp.command("test-distribution")
+@click.option("--imgs", default=defaults.GP_TEST_DIR, show_default=True)
+@click.option("--annotations", default=defaults.GP_ANN_DIR,
+              show_default=True)
+def gp_test_distribution(imgs, annotations):
+    """Per-category annotation counts (cvpce/cli/datasets/gp.py
+    distribution commands)."""
+    from collections import Counter
+
+    from ..data.grocery import GroceryProductsTestSet
+
+    ds = GroceryProductsTestSet(imgs, annotations)
+    counts = Counter(a.split("/")[0] if "/" in a else a
+                     for e in ds.index for a in e["anns"])
+    for name, n in counts.most_common():
+        click.echo(f"{n:6d}  {name}")
+
+
+@gp.command("visualize-planoset")
+@click.option("--imgs", default=defaults.GP_TEST_DIR, show_default=True)
+@click.option("--annotations", default=defaults.GP_ANN_DIR,
+              show_default=True)
+@click.option("--planograms", default=defaults.GP_PLANO_DIR,
+              show_default=True)
+@click.option("--index", default=0, show_default=True)
+@click.option("--out", required=True)
+def gp_visualize_planoset(imgs, annotations, planograms, index, out):
+    from ..data.planograms import PlanogramTestSet
+
+    ds = PlanogramTestSet(imgs, annotations, planograms)
+    img, anns, boxes, plano = ds[index]
+    _save_boxes_viz(img, boxes, out, labels=anns)
+    _save_boxes_viz(np.ones((10, 10, 3)), plano["boxes"],
+                    out.replace(".png", "_plano.png"),
+                    labels=plano["labels"])
+
+
+@gp.command("mask-test")
+@click.argument("image", type=click.Path(exists=True))
+@click.option("--out", required=True)
+def gp_mask_test(image, out):
+    """White-background mask visualization (cvpce/cli/datasets/gp.py
+    mask-test)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    from ..data import transforms as T
+
+    img = T.load_image(image)
+    mask = T.build_white_background_mask(img)
+    fig, axes = plt.subplots(1, 2, figsize=(10, 5))
+    axes[0].imshow(img)
+    axes[1].imshow(mask, cmap="gray")
+    for ax in axes:
+        ax.axis("off")
+    fig.savefig(out, bbox_inches="tight", dpi=120)
+    click.echo(f"saved {out}")
+
+
+@datasets.group()
+def grozi():
+    """GroZi-120 (cvpce/cli/datasets/grozi.py)."""
+
+
+@grozi.command("extract-test-images")
+@click.option("--root", default=defaults.GROZI_ROOT, show_default=True)
+def grozi_extract(root):
+    from ..data.grozi import extract_grozi_test_imgs
+
+    extract_grozi_test_imgs(root)
+
+
+@grozi.command("visualize-test")
+@click.option("--root", default=defaults.GROZI_ROOT, show_default=True)
+@click.option("--index", default=0, show_default=True)
+@click.option("--out", required=True)
+def grozi_visualize_test(root, index, out):
+    from ..data.grozi import GroZiTestSet
+
+    ds = GroZiTestSet(root)
+    img, anns, boxes = ds[index]
+    _save_boxes_viz(img, boxes, out, labels=list(anns))
+
+
+@datasets.group()
+def internal():
+    """Internal dataset (cvpce/cli/datasets/internal.py)."""
+
+
+@internal.command("visualize-planoset")
+@click.option("--root", required=True)
+@click.option("--index", default=0, show_default=True)
+@click.option("--out", required=True)
+def internal_visualize(root, index, out):
+    from ..data.planograms import InternalPlanoSet
+
+    ds = InternalPlanoSet(root)
+    img, plano = ds[index]
+    _save_boxes_viz(img, plano["boxes"], out, labels=plano["labels"])

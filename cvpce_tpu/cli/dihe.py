@@ -1,0 +1,193 @@
+"""`dihe` command group (reference: cvpce/cli/dihe.py)."""
+from __future__ import annotations
+
+import json
+
+import click
+import numpy as np
+
+from ..data import defaults
+from .common import load_embedder
+
+# hyperopt'd preset (cvpce/cli/dihe.py:159-162)
+HYPEROPT_ENC_LR = 8e-7
+HYPEROPT_ENC_MULTIPLIER = 0.9
+
+
+@click.group()
+def dihe():
+    """Domain-Invariant Hierarchical Embedding: product classification."""
+
+
+def _gp_options(f):
+    f = click.option("--source", multiple=True,
+                     default=defaults.GP_TRAIN_FOLDERS, show_default=True)(f)
+    f = click.option("--imgs", default=defaults.SKU110K_IMG_DIR,
+                     show_default=True)(f)
+    f = click.option("--annotations",
+                     default=defaults.SKU110K_ANNOTATION_FILE,
+                     show_default=True)(f)
+    return f
+
+
+@dihe.command("pretrain-gan")
+@_gp_options
+@click.option("--out", required=True, type=click.Path())
+@click.option("--epochs", default=1, show_default=True)
+@click.option("--batch-size", default=4, show_default=True)
+@click.option("--masks", is_flag=True)
+def pretrain_gan_cmd(source, imgs, annotations, out, epochs, batch_size,
+                     masks):
+    """Pretrain the U-Net/PatchGAN domain adapter
+    (cvpce/cli/dihe.py:31-75)."""
+    from ..data.grocery import GroceryProductsDataset
+    from ..data.sku110k import TargetDomainDataset
+    from ..train.loops import pretrain_gan
+
+    dataset = GroceryProductsDataset(list(source), include_masks=masks)
+    discset = TargetDomainDataset(imgs, annotations,
+                                  skip=defaults.SKU110K_SKIP)
+    pretrain_gan(dataset, discset, out, epochs=epochs,
+                 batch_size=batch_size, masks=masks)
+
+
+@dihe.command()
+@_gp_options
+@click.option("--test-imgs", default=defaults.GP_TEST_DIR, show_default=True)
+@click.option("--test-annotations", default=defaults.GP_ANN_DIR,
+              show_default=True)
+@click.option("--out", required=True, type=click.Path())
+@click.option("--gan", "gan_path", default=None,
+              help="pretrained GAN checkpoint dir (required for real runs)")
+@click.option("--epochs", default=1, show_default=True)
+@click.option("--batch-size", default=4, show_default=True)
+@click.option("--masks", is_flag=True)
+@click.option("--no-batchnorm", is_flag=True)
+@click.option("--hyperopt-params", is_flag=True,
+              help="enc lr 8e-7, multiplier 0.9 (cli/dihe.py:159-162)")
+def train(source, imgs, annotations, test_imgs, test_annotations, out,
+          gan_path, epochs, batch_size, masks, no_batchnorm,
+          hyperopt_params):
+    """Train DIHE (cvpce/cli/dihe.py:77-167)."""
+    from ..data.grocery import (GroceryProductsDataset,
+                                GroceryProductsTestSet)
+    from ..data.sku110k import TargetDomainDataset
+    from ..train.checkpoint import CheckpointManager
+    from ..train.dihe import DIHETrainConfig
+    from ..train.loops import train_dihe
+
+    dataset = GroceryProductsDataset(list(source), include_masks=masks,
+                                     include_annotations=True)
+    discset = TargetDomainDataset(imgs, annotations,
+                                  skip=defaults.SKU110K_SKIP)
+    evalset = GroceryProductsTestSet(
+        test_imgs, test_annotations,
+        only=defaults.GP_TEST_VALIDATION_SET_SIZE)
+    cfg = DIHETrainConfig(
+        enc_lr=HYPEROPT_ENC_LR if hyperopt_params else 1e-6,
+        enc_multiplier=HYPEROPT_ENC_MULTIPLIER if hyperopt_params else 1.0,
+        batchnorm=not no_batchnorm, masks=masks,
+    )
+    gan_state = None
+    if gan_path:
+        manager = CheckpointManager(gan_path, name="gan_checkpoint")
+        from ..train.dihe import GANPretrainConfig, make_gan_pretrain_step
+        import jax
+        init, _ = make_gan_pretrain_step(GANPretrainConfig(masks=masks))
+        abstract = init(jax.random.PRNGKey(0),
+                        gen_channels=4 if masks else 3)
+        gan_state = manager.restore(abstract)
+    train_dihe(dataset, discset, dataset, evalset, out,
+               gan_state=gan_state, epochs=epochs, batch_size=batch_size,
+               train_cfg=cfg)
+
+
+@dihe.command("eval")
+@_gp_options
+@click.option("--test-imgs", default=defaults.GP_TEST_DIR, show_default=True)
+@click.option("--test-annotations", default=defaults.GP_ANN_DIR,
+              show_default=True)
+@click.option("--weights", default=None,
+              help="embedder weights (torch vgg16_bn or MACVGG checkpoint); "
+              "omit for ImageNet-init eval like cli/dihe.py:301-309")
+@click.option("--k", multiple=True, type=int, default=(1, 5),
+              show_default=True)
+@click.option("--batch-size", default=32, show_default=True)
+@click.option("--validation", is_flag=True,
+              help="first 2 annotations per image (defaults.py:24-26)")
+def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
+             weights, k, batch_size, validation):
+    """Gallery-kNN classification accuracy (cvpce/cli/dihe.py:257-309)."""
+    from ..data.grocery import (GroceryProductsDataset,
+                                GroceryProductsTestSet)
+    from ..eval.classification import eval_dihe
+
+    encoder_fn, emb_size = load_embedder(weights)
+    sampleset = GroceryProductsDataset(list(source), random_crop=False,
+                                       include_annotations=True)
+    testset = GroceryProductsTestSet(
+        test_imgs, test_annotations,
+        only=defaults.GP_TEST_VALIDATION_SET_SIZE if validation else None,
+        skip=None if validation else defaults.GP_TEST_VALIDATION_SET_SIZE)
+    accuracy = eval_dihe(encoder_fn, emb_size, sampleset, testset,
+                         batch_size=batch_size, k=tuple(k))
+    click.echo(json.dumps({str(kk): v for kk, v in accuracy.items()}))
+
+
+@dihe.command("prebuild-index")
+@_gp_options
+@click.option("--weights", default=None)
+@click.option("--out", required=True, type=click.Path())
+@click.option("--batch-size", default=32, show_default=True)
+def prebuild_index(source, imgs, annotations, weights, out, batch_size):
+    """Embed the gallery once and save the classifier index
+    (cvpce/cli/dihe.py:382-423)."""
+    from ..data.grocery import GroceryProductsDataset
+    from ..pipeline.classifier import Classifier
+
+    encoder_fn, emb_size = load_embedder(weights)
+    sampleset = GroceryProductsDataset(list(source), random_crop=False,
+                                       include_annotations=True)
+    classifier = Classifier(encoder_fn, emb_size, sampleset,
+                            batch_size=batch_size, verbose=True)
+    classifier.save_index(out)
+    click.echo(f"index with {len(classifier.annotations)} entries -> {out}")
+
+
+@dihe.command("visualize-performance")
+@click.option("--index", required=True, help="prebuilt classifier index")
+@click.option("--weights", default=None)
+@click.argument("images", nargs=-1, type=click.Path(exists=True))
+@click.option("--out", required=True)
+@click.option("--k", default=5, show_default=True)
+def visualize_performance(index, weights, images, out, k):
+    """kNN grid visualization (cvpce/cli/dihe.py:311-380)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    from ..data import transforms as T
+    from ..pipeline.classifier import Classifier
+
+    encoder_fn, emb_size = load_embedder(weights)
+    classifier = Classifier(encoder_fn, emb_size, load=index, k=k)
+    fig, axes = plt.subplots(len(images), 1,
+                             figsize=(8, 3 * max(len(images), 1)))
+    axes = np.atleast_1d(axes)
+    for ax, img_path in zip(axes, images):
+        img = T.scale_to_tanh(T.resize_for_classification(
+            T.load_image(img_path)))
+        anns = classifier.classify(img[None])[0]
+        ax.imshow(T.scale_from_tanh(img) if hasattr(T, "scale_from_tanh")
+                  else (img + 1) / 2)
+        ax.set_title(" | ".join(str(a) for a in anns), fontsize=8)
+        ax.axis("off")
+    fig.savefig(out, bbox_inches="tight", dpi=120)
+    click.echo(f"saved {out}")
+
+
+@dihe.command()
+def hyperopt():
+    """Hyperparameter search (reference: Ray Tune, cvpce/cli/dihe.py:
+    169-255). Planned: cvpce_tpu.train.hyperopt (round 2)."""
+    raise click.UsageError("dihe hyperopt lands in round 2")

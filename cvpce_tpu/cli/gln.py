@@ -1,0 +1,263 @@
+"""`gln` command group (reference: cvpce/cli/gln.py)."""
+from __future__ import annotations
+
+import json
+
+import click
+import numpy as np
+
+from ..data import defaults
+from ..models.gln import GLNConfig
+from .common import load_gln_variables
+
+# hyperopt'd presets (cvpce/cli/gln.py:124-126)
+HYPEROPT_LR_MULTIPLIER = 0.995
+HYPEROPT_THRESHOLDS_TANH = (-1.0, 0.3)
+HYPEROPT_THRESHOLDS_PLAIN = (0.0, 0.65)
+
+
+@click.group()
+def gln():
+    """Gaussian Layer Network: product proposal detection."""
+
+
+def _dataset_options(f):
+    f = click.option("--imgs", default=defaults.SKU110K_IMG_DIR,
+                     show_default=True)(f)
+    f = click.option("--annotations", default=defaults.SKU110K_ANNOTATION_FILE,
+                     show_default=True)(f)
+    return f
+
+
+@gln.command("build-assistant")
+@click.option("--canvas", nargs=2, type=int, default=(832, 1344),
+              show_default=True)
+def build_assistant(canvas):
+    """Shape-logging dry run of an untrained GLN
+    (cvpce/cli/gln.py:29-57)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.gln import GLN, postprocess_detections
+    from ..models.resnet import ResNet50
+    from ..models.fpn import FPN
+
+    h, w = canvas
+    config = GLNConfig(canvas_h=h, canvas_w=w)
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+
+    feats = ResNet50(norm="frozen").init_with_output(
+        jax.random.PRNGKey(0), x)[0]
+    click.echo(", ".join(f"{k}: {tuple(v.shape)}" for k, v in feats.items()))
+    pyramid = FPN().init_with_output(
+        jax.random.PRNGKey(0), feats["c3"], feats["c4"], feats["c5"])[0]
+    click.echo(", ".join(f"P{i + 3}: {tuple(p.shape)}"
+                         for i, p in enumerate(pyramid)))
+
+    model = GLN(config=config)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    click.echo(f"cls_logits: {tuple(out['cls_logits'].shape)}, "
+               f"bbox_regression: {tuple(out['bbox_regression'].shape)}, "
+               f"gaussians: {tuple(out['gaussians'].shape)}")
+    anchors, counts = config.anchors()
+    click.echo(f"anchors: {anchors.shape[0]} over levels {counts}")
+    res = postprocess_detections(
+        out, jnp.asarray(anchors), counts,
+        jnp.asarray([[h, w]], jnp.float32), config)
+    click.echo(f"detections: {tuple(res['boxes'].shape)}")
+
+
+@gln.command()
+@_dataset_options
+@click.option("--evalimgs", default=None)
+@click.option("--evalannotations", default=None)
+@click.option("--out", required=True, type=click.Path())
+@click.option("--load", default=None, help="torch checkpoint to import")
+@click.option("--resume", is_flag=True)
+@click.option("--tanh", is_flag=True)
+@click.option("--method", type=click.Choice(["normal", "kant", "simple"]),
+              default="normal", show_default=True)
+@click.option("--batch-size", default=1, show_default=True)
+@click.option("--epochs", default=1, show_default=True)
+@click.option("--gauss-loss-neg-thresh", default=0.0, show_default=True)
+@click.option("--gauss-loss-pos-thresh", default=0.1, show_default=True)
+@click.option("--hyperopt-params", is_flag=True,
+              help="use the hyper-optimized params (cli/gln.py:124-126)")
+def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
+          tanh, method, batch_size, epochs, gauss_loss_neg_thresh,
+          gauss_loss_pos_thresh, hyperopt_params):
+    """Train GLN on SKU-110K (cvpce/cli/gln.py:59-133). Best model used
+    `--tanh --method simple --hyperopt-params`."""
+    from ..data.sku110k import SKU110KDataset
+    from ..train.gln import GLNTrainConfig
+    from ..train.loops import train_proposal_generator
+
+    method_map = {"normal": "mvn", "kant": "kant", "simple": "simple"}
+    model_cfg = GLNConfig(tanh=tanh)
+    lr_multiplier = 0.99
+    neg, pos = gauss_loss_neg_thresh, gauss_loss_pos_thresh
+    if hyperopt_params:
+        lr_multiplier = HYPEROPT_LR_MULTIPLIER
+        neg, pos = (HYPEROPT_THRESHOLDS_TANH if tanh
+                    else HYPEROPT_THRESHOLDS_PLAIN)
+    train_cfg = GLNTrainConfig(
+        lr_multiplier=lr_multiplier, negative_threshold=neg,
+        positive_threshold=pos, gauss_method=method_map[method],
+    )
+    dataset = SKU110KDataset(imgs, annotations, skip=defaults.SKU110K_SKIP,
+                             canvas_h=model_cfg.canvas_h,
+                             canvas_w=model_cfg.canvas_w)
+    evalset = SKU110KDataset(
+        evalimgs or imgs, evalannotations or annotations,
+        skip=defaults.SKU110K_SKIP, flip_chance=0.0,
+        canvas_h=model_cfg.canvas_h, canvas_w=model_cfg.canvas_w)
+    train_proposal_generator(
+        dataset, evalset, out, model_cfg=model_cfg, train_cfg=train_cfg,
+        batch_size=batch_size, epochs=epochs, resume=resume)
+
+
+@gln.command("eval")
+@_dataset_options
+@click.option("--weights", required=True)
+@click.option("--dataset-type", type=click.Choice(
+    ["sku110k", "gp180", "gpbaseline"]), default="sku110k",
+    show_default=True)
+@click.option("--coco", is_flag=True, help="IoU sweep 0.5:0.95")
+@click.option("--batch-size", default=4, show_default=True)
+@click.option("--out", default=None, help="write metrics JSON here")
+def eval_cmd(imgs, annotations, weights, dataset_type, coco, batch_size,
+             out):
+    """Proposal AP/AR evaluation (cvpce/cli/gln.py:230-280)."""
+    from ..eval.proposals import evaluate_gln
+
+    config = GLNConfig()
+    variables = load_gln_variables(weights, config)
+    dataset = _load_eval_dataset(dataset_type, imgs, annotations, config)
+    thresholds = tuple(np.arange(0.5, 1.0, 0.05).round(2)) if coco else (0.5,)
+    res = evaluate_gln(variables, dataset, config, thresholds=thresholds,
+                       batch_size=batch_size, verbose=True)
+    summary = {str(t): {k: float(v) for k, v in d.items() if k != "raw"}
+               for t, d in res.items()}
+    click.echo(json.dumps(summary, indent=2))
+    if out:
+        with open(out, "w") as f:
+            json.dump(summary, f)
+
+
+def _load_eval_dataset(dataset_type, imgs, annotations, config):
+    from ..data.sku110k import SKU110KDataset
+
+    if dataset_type == "sku110k":
+        return SKU110KDataset(imgs, annotations,
+                              skip=defaults.SKU110K_SKIP, flip_chance=0.0,
+                              canvas_h=config.canvas_h,
+                              canvas_w=config.canvas_w)
+    raise click.UsageError(
+        f"dataset type {dataset_type} wiring lands with the GP eval path")
+
+
+@gln.command()
+@click.argument("image", type=click.Path(exists=True))
+@click.option("--weights", required=True)
+@click.option("--threshold", default=0.5, show_default=True)
+@click.option("--out", default=None, help="save visualization here")
+def detect(image, weights, threshold, out):
+    """Single-image detection (cvpce/cli/gln.py:282-307)."""
+    from ..data import transforms as T
+    from ..pipeline.proposals import ProposalGenerator
+
+    config = GLNConfig()
+    variables = load_gln_variables(weights, config)
+    gen = ProposalGenerator(variables, config,
+                            confidence_threshold=threshold)
+    img = T.load_image(image)
+    res = gen.detect(img)
+    keep = res["valid"] & (res["scores"] > threshold)
+    click.echo(f"{int(keep.sum())} detections over {threshold}")
+    for box, score in zip(res["boxes"][keep][:20], res["scores"][keep][:20]):
+        click.echo(f"  {score:.3f} {np.round(box, 1).tolist()}")
+    if out:
+        _save_detection_viz(img, res["boxes"][keep], out)
+
+
+def _save_detection_viz(img, boxes, out):
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import patches, pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(12, 9))
+    ax.imshow(img)
+    for x1, y1, x2, y2 in boxes:
+        ax.add_patch(patches.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                       fill=False, edgecolor="lime",
+                                       linewidth=1))
+    ax.axis("off")
+    fig.savefig(out, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+    click.echo(f"saved {out}")
+
+
+@gln.command("seek-sku110k-outliers")
+@_dataset_options
+@click.option("--weights", required=True)
+@click.option("--sigmas", default=3.0, show_default=True)
+def seek_outliers(imgs, annotations, weights, sigmas):
+    """Per-image loss outlier scan used to curate SKU110K_SKIP
+    (cvpce/cli/gln.py:309-377). Here: per-image eval-mode total loss via
+    the train-step loss function."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.sku110k import SKU110KDataset, pad_boxes
+    from ..models.gln import GLN
+    from ..train.gln import (GLNTrainConfig, compute_losses, pad_anchors,
+                             render_heatmap_targets)
+
+    config = GLNConfig()
+    train_cfg = GLNTrainConfig()
+    variables = load_gln_variables(weights, config)
+    dataset = SKU110KDataset(imgs, annotations, flip_chance=0.0,
+                             canvas_h=config.canvas_h,
+                             canvas_w=config.canvas_w)
+    anchors, _ = config.anchors()
+    anchors_p, num_real = pad_anchors(anchors, train_cfg.match_chunk)
+    model = GLN(config=config, train=False)
+
+    @jax.jit
+    def loss_of(images, boxes, valid, sizes):
+        outputs = model.apply(variables, images)
+        heat = render_heatmap_targets(boxes, valid, sizes, config,
+                                      train_cfg)[..., None]
+        losses = compute_losses(outputs, jnp.asarray(anchors_p), num_real,
+                                boxes, valid, heat, config, train_cfg)
+        return (losses["classification"] + losses["bbox_regression"]
+                + losses["gaussian"])
+
+    all_losses = []
+    for i in range(len(dataset)):
+        item = dataset[i]
+        b, v = pad_boxes(item["boxes"], 768)
+        loss = float(loss_of(item["image"][None], b[None], v[None],
+                             item["image_size"][None]))
+        all_losses.append((loss, item["name"]))
+        if i % 50 == 0:
+            click.echo(f"{i}/{len(dataset)}")
+    values = np.array([l for l, _ in all_losses])
+    thresh = values.mean() + sigmas * values.std()
+    outliers = [(l, n) for l, n in all_losses if l > thresh]
+    click.echo(f"mean {values.mean():.3f} std {values.std():.3f} "
+               f"threshold {thresh:.3f}")
+    for l, n in sorted(outliers, reverse=True):
+        click.echo(f"  {l:.3f}\t{n}")
+
+
+@gln.command()
+@click.option("--trials", default=16, show_default=True)
+def hyperopt(trials):
+    """Hyperparameter search (reference uses Ray Tune HyperOptSearch +
+    ASHA, cvpce/cli/gln.py:135-228). Planned: the built-in ASHA searcher
+    in cvpce_tpu.train.hyperopt."""
+    raise click.UsageError(
+        "gln hyperopt: use cvpce_tpu.train.hyperopt (round 2); the search "
+        "space and presets are documented in cli/gln.py of the reference")
