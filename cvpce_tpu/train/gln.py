@@ -125,9 +125,11 @@ def compute_losses(outputs: Dict[str, Array], anchors: Array,
         matched_idx, fg, not_ignored = match_anchors(
             anchors, boxes, valid, chunk=cfg.match_chunk
         )
-        real = jnp.arange(anchors.shape[0]) < a_real
-        fg = fg & real
-        not_ignored = not_ignored & real
+        # drop the padded anchor tail (head outputs cover real anchors only)
+        matched_idx = matched_idx[:a_real]
+        fg = fg[:a_real]
+        not_ignored = not_ignored[:a_real]
+        real_anchors = anchors[:a_real]
         num_fg = jnp.maximum(fg.sum(), 1)
 
         # classification: focal over non-ignored anchors, single class
@@ -137,7 +139,7 @@ def compute_losses(outputs: Dict[str, Array], anchors: Array,
 
         # regression: L1 on encoded deltas over foreground anchors
         matched_boxes = boxes[matched_idx]
-        target_deltas = encode_boxes(matched_boxes, anchors)
+        target_deltas = encode_boxes(matched_boxes, real_anchors)
         l1 = jnp.abs(regs - target_deltas).sum(-1)
         reg_loss = jnp.where(fg, l1, 0.0).sum() / num_fg
         return cls_loss, reg_loss
