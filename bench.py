@@ -36,11 +36,13 @@ def main():
                            max_nms_candidates=512, detections_per_img=128)
         batch = 1
         crops_per_image = 32
+        embed_chunk = 32
         iters, warmup = 3, 1
     else:
         config = GLNConfig()  # 832x1344
-        batch = 8
+        batch = 4
         crops_per_image = 128
+        embed_chunk = 64  # VGG f32 activations cap HBM; chunk the crops
         iters, warmup = 10, 3
 
     rng = jax.random.PRNGKey(0)
@@ -65,11 +67,12 @@ def main():
                                      config)
         top_boxes = res["boxes"][:, :crops_per_image]
 
-        def embed_one(img, boxes):
-            crops = crop_resize_square(img, boxes)
-            return embedder.apply(emb_vars, scale_to_tanh(crops))
-
-        embs = jax.vmap(embed_one)(imgs, top_boxes)
+        crops = jax.vmap(crop_resize_square)(imgs, top_boxes)
+        crops = scale_to_tanh(crops).reshape(
+            batch * crops_per_image, 256, 256, 3)
+        # chunk the embed stage to bound peak HBM (f32 VGG activations)
+        chunked = crops.reshape(-1, embed_chunk, 256, 256, 3)
+        embs = jax.lax.map(lambda c: embedder.apply(emb_vars, c), chunked)
         return res["boxes"], res["scores"], embs
 
     # warmup + compile

@@ -25,9 +25,10 @@ def _down_conv(features: int, name: str, use_bias: bool = True) -> nn.Conv:
 
 def _up_conv(features: int, name: str, use_bias: bool = True
              ) -> nn.ConvTranspose:
+    # SAME padding gives exactly out = in * stride, matching torch
+    # ConvTranspose2d(kernel=4, stride=2, padding=1)
     return nn.ConvTranspose(features, (4, 4), strides=(2, 2),
-                            padding=[(1, 1), (1, 1)], use_bias=use_bias,
-                            name=name)
+                            padding="SAME", use_bias=use_bias, name=name)
 
 
 class UNetGenerator(nn.Module):

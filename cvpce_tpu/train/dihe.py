@@ -50,6 +50,7 @@ class DIHETrainConfig:
     masks: bool = False
     steps_per_epoch: int = 1000
     emb_weight: float = 0.1  # Tonioni weighting, line 513
+    gen_downs: int = 8  # U-Net depth; 8 for 256px (tests shrink it)
 
 
 class DIHETrainState(struct.PyTreeNode):
@@ -93,7 +94,7 @@ def _bce(pred: Array, target: float, eps: float = 1e-7) -> Array:
 
 def build_models(cfg: DIHETrainConfig):
     embedder = MACVGG(batch_norm=cfg.batchnorm, train=True)
-    generator = UNetGenerator(train=True)
+    generator = UNetGenerator(train=True, num_downs=cfg.gen_downs)
     discriminator = AveragingPatchGAN(train=True)
     return embedder, generator, discriminator
 
