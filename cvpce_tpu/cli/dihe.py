@@ -187,7 +187,58 @@ def visualize_performance(index, weights, images, out, k):
 
 
 @dihe.command()
-def hyperopt():
-    """Hyperparameter search (reference: Ray Tune, cvpce/cli/dihe.py:
-    169-255). Planned: cvpce_tpu.train.hyperopt (round 2)."""
-    raise click.UsageError("dihe hyperopt lands in round 2")
+@_gp_options
+@click.option("--test-imgs", default=defaults.GP_TEST_DIR, show_default=True)
+@click.option("--test-annotations", default=defaults.GP_ANN_DIR,
+              show_default=True)
+@click.option("--out", required=True, type=click.Path())
+@click.option("--gan", "gan_path", default=None)
+@click.option("--trials", default=16, show_default=True)
+@click.option("--max-epochs", default=6, show_default=True)
+@click.option("--batch-size", default=4, show_default=True)
+def hyperopt(source, imgs, annotations, test_imgs, test_annotations, out,
+             gan_path, trials, max_epochs, batch_size):
+    """Hyperparameter search over the reference's DIHE space
+    (cvpce/cli/dihe.py:224-228: batchnorm, enc_multiplier, enc_lr) with
+    ASHA early stopping."""
+    import json
+    import os
+    from os import path
+
+    from ..data.grocery import (GroceryProductsDataset,
+                                GroceryProductsTestSet)
+    from ..data.sku110k import TargetDomainDataset
+    from ..train.dihe import DIHETrainConfig
+    from ..train.hyperopt import DIHE_SPACE, run_search
+    from ..train.loops import train_dihe
+
+    os.makedirs(out, exist_ok=True)
+    dataset = GroceryProductsDataset(list(source), include_annotations=True)
+    discset = TargetDomainDataset(imgs, annotations,
+                                  skip=defaults.SKU110K_SKIP)
+    evalset = GroceryProductsTestSet(
+        test_imgs, test_annotations,
+        only=defaults.GP_TEST_VALIDATION_SET_SIZE)
+
+    def train_one_epoch(config, epoch, carry):
+        cfg = DIHETrainConfig(enc_lr=config["enc_lr"],
+                              enc_multiplier=config["enc_multiplier"],
+                              batchnorm=config["batchnorm"])
+        metrics = {}
+
+        def report(**kw):
+            metrics.update(kw)
+
+        train_dihe(dataset, discset, dataset, evalset,
+                   path.join(out, "trial_tmp"), epochs=1,
+                   batch_size=batch_size, train_cfg=cfg,
+                   hyperopt_report=report)
+        return metrics.get("accuracy", 0.0), None
+
+    result = run_search(train_one_epoch, DIHE_SPACE, num_trials=trials,
+                        max_epochs=max_epochs)
+    click.echo(json.dumps({"best_config": result["best_config"],
+                           "best_metric": result["best_metric"]}, indent=2))
+    with open(path.join(out, "hyperopt_result.json"), "w") as f:
+        json.dump({"best_config": result["best_config"],
+                   "best_metric": result["best_metric"]}, f)

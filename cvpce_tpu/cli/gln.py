@@ -253,11 +253,68 @@ def seek_outliers(imgs, annotations, weights, sigmas):
 
 
 @gln.command()
+@_dataset_options
+@click.option("--evalimgs", default=None)
+@click.option("--evalannotations", default=None)
+@click.option("--out", required=True, type=click.Path())
 @click.option("--trials", default=16, show_default=True)
-def hyperopt(trials):
-    """Hyperparameter search (reference uses Ray Tune HyperOptSearch +
-    ASHA, cvpce/cli/gln.py:135-228). Planned: the built-in ASHA searcher
-    in cvpce_tpu.train.hyperopt."""
-    raise click.UsageError(
-        "gln hyperopt: use cvpce_tpu.train.hyperopt (round 2); the search "
-        "space and presets are documented in cli/gln.py of the reference")
+@click.option("--max-epochs", default=9, show_default=True)
+@click.option("--batch-size", default=1, show_default=True)
+def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
+             max_epochs, batch_size):
+    """Hyperparameter search over the reference's GLN space
+    (cvpce/cli/gln.py:171-200) with ASHA early stopping and
+    exploding-gradient tolerance (max_failures=2, cli/gln.py:215)."""
+    import json
+    import os
+
+    from ..data.sku110k import SKU110KDataset
+    from ..train.gln import GLNTrainConfig
+    from ..train.hyperopt import GLN_SPACE, run_search
+    from ..train.loops import train_proposal_generator
+
+    os.makedirs(out, exist_ok=True)
+
+    def train_one_epoch(config, epoch, carry):
+        model_cfg = GLNConfig(tanh=config["tanh"])
+        # threshold re-parameterization as in
+        # proposals_training.py:62-67 (apply_hyperopt_config)
+        tmin = -1.0 if config["tanh"] else 0.0
+        tscale = 2.0 if config["tanh"] else 1.0
+        low = tmin + config["gauss_loss_neg_thresh"] * tscale
+        high = low + (1 - config["gauss_loss_neg_thresh"]) * tscale \
+            * config["gauss_loss_pos_thresh"]
+        train_cfg = GLNTrainConfig(
+            lr_multiplier=config["multiplier"],
+            scale_class=config["scale_class"],
+            scale_gaussian=config["scale_gaussian"],
+            negative_threshold=low, positive_threshold=high,
+        )
+        dataset = SKU110KDataset(
+            imgs, annotations, skip=defaults.SKU110K_SKIP,
+            canvas_h=model_cfg.canvas_h, canvas_w=model_cfg.canvas_w)
+        evalset = SKU110KDataset(
+            evalimgs or imgs, evalannotations or annotations,
+            skip=defaults.SKU110K_SKIP, flip_chance=0.0,
+            canvas_h=model_cfg.canvas_h, canvas_w=model_cfg.canvas_w)
+        metrics = {}
+
+        def report(**kw):
+            metrics.update(kw)
+
+        train_proposal_generator(
+            dataset, evalset,
+            path.join(out, f"trial_tmp"), model_cfg=model_cfg,
+            train_cfg=train_cfg, batch_size=batch_size, epochs=1,
+            eval_interval=1, resume=epoch > 0, hyperopt_report=report)
+        return metrics.get("average_precision", 0.0), None
+
+    from os import path
+
+    result = run_search(train_one_epoch, GLN_SPACE, num_trials=trials,
+                        max_epochs=max_epochs)
+    click.echo(json.dumps({"best_config": result["best_config"],
+                           "best_metric": result["best_metric"]}, indent=2))
+    with open(path.join(out, "hyperopt_result.json"), "w") as f:
+        json.dump({"best_config": result["best_config"],
+                   "best_metric": result["best_metric"]}, f)
