@@ -39,10 +39,11 @@ def main():
         embed_chunk = 32
         iters, warmup = 3, 1
     else:
-        config = GLNConfig()  # 832x1344
+        # bf16 conv stacks (MXU-native) + Pallas bitmask NMS
+        config = GLNConfig(compute_dtype="bfloat16", use_pallas_nms=True)
         batch = 4
         crops_per_image = 128
-        embed_chunk = 64  # VGG f32 activations cap HBM; chunk the crops
+        embed_chunk = 64  # VGG activations cap HBM; chunk the crops
         iters, warmup = 10, 3
 
     rng = jax.random.PRNGKey(0)
@@ -56,7 +57,10 @@ def main():
     sizes = jnp.full((batch, 2), 0, jnp.float32).at[:, 0].set(
         config.canvas_h).at[:, 1].set(config.canvas_w)
 
-    embedder = MACVGG(batch_norm=True)
+    import jax.numpy as jnp_  # embedder in the same compute dtype
+    embedder = MACVGG(batch_norm=True,
+                      dtype=jnp_.bfloat16 if platform != "cpu"
+                      else jnp_.float32)
     crop_batch = jnp.zeros((crops_per_image, 256, 256, 3), jnp.float32)
     emb_vars = embedder.init(jax.random.PRNGKey(1), crop_batch)
 

@@ -14,7 +14,7 @@ torch checkpoints map 1:1 (see utils/torch_import.py).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -55,10 +55,11 @@ class MACVGG(nn.Module):
     train: bool = False
     embedding_size: int = 1024
     eps: float = 1e-8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = normalize_tanh_imagenet(x)
+        x = normalize_tanh_imagenet(x).astype(self.dtype)
 
         plan = _vgg_plan(self.batch_norm)
         # Split points: descriptor 1 after the last ReLU of block 4 (before
@@ -76,15 +77,16 @@ class MACVGG(nn.Module):
                 x = max_pool(x, 2, 2)
             elif kind == "conv":
                 x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
-                            use_bias=True, name=f"f{idx}")(x)
+                            use_bias=True, dtype=self.dtype,
+                            name=f"f{idx}")(x)
             elif kind == "bn":
                 x = nn.BatchNorm(use_running_average=not self.train,
                                  momentum=0.9, epsilon=1e-5,
-                                 name=f"f{idx}")(x)
+                                 dtype=self.dtype, name=f"f{idx}")(x)
             elif kind == "relu":
                 x = nn.relu(x)
 
-        desc = jnp.concatenate([desc1, desc2], axis=1)
+        desc = jnp.concatenate([desc1, desc2], axis=1).astype(jnp.float32)
         norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
         return desc / jnp.maximum(norm, self.eps)
 

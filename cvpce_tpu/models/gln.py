@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,11 @@ class GLNConfig:
     max_nms_candidates: int = 2000   # device NMS budget across levels
     # anchor box-coder weights (torchvision RetinaNet uses all-ones)
     box_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    # compute dtype for the conv stacks ('float32' | 'bfloat16'); params
+    # and postprocessing stay f32
+    compute_dtype: str = "float32"
+    # use the Pallas bitmask NMS kernel (TPU) instead of the XLA fori-loop
+    use_pallas_nms: bool = False
 
     def anchors(self) -> Tuple[np.ndarray, List[int]]:
         return anchor_ops.grid_anchors(self.canvas_h, self.canvas_w)
@@ -60,6 +65,7 @@ def _head_kernel_init():
 class _ConvTower(nn.Module):
     """4x (3x3 conv 256 + ReLU), shared across pyramid levels."""
     features: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -67,6 +73,7 @@ class _ConvTower(nn.Module):
             x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
                         kernel_init=_head_kernel_init(),
                         bias_init=nn.initializers.zeros,
+                        dtype=self.dtype,
                         name=f"conv_{i}")(x)
             x = nn.relu(x)
         return x
@@ -76,11 +83,12 @@ class RetinaNetHead(nn.Module):
     num_classes: int = 1
     num_anchors: int = 9
     prior_probability: float = 0.01
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: Sequence[Array]) -> Tuple[Array, Array]:
-        cls_tower = _ConvTower(name="cls_tower")
-        reg_tower = _ConvTower(name="reg_tower")
+        cls_tower = _ConvTower(dtype=self.dtype, name="cls_tower")
+        reg_tower = _ConvTower(dtype=self.dtype, name="reg_tower")
         bias_value = -math.log(
             (1 - self.prior_probability) / self.prior_probability
         )
@@ -89,12 +97,14 @@ class RetinaNetHead(nn.Module):
             padding=[(1, 1), (1, 1)],
             kernel_init=_head_kernel_init(),
             bias_init=nn.initializers.constant(bias_value),
+            dtype=self.dtype,
             name="cls_logits",
         )
         bbox_reg = nn.Conv(
             self.num_anchors * 4, (3, 3), padding=[(1, 1), (1, 1)],
             kernel_init=_head_kernel_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="bbox_reg",
         )
 
@@ -102,8 +112,8 @@ class RetinaNetHead(nn.Module):
         regs_all = []
         for f in features:
             b = f.shape[0]
-            logits = cls_logits(cls_tower(f))
-            regs = bbox_reg(reg_tower(f))
+            logits = cls_logits(cls_tower(f)).astype(jnp.float32)
+            regs = bbox_reg(reg_tower(f)).astype(jnp.float32)
             # (B, H, W, A*K) -> (B, H*W*A, K): same (y, x, anchor) flatten
             # order as the anchor grid and torchvision's permute+reshape.
             logits_all.append(logits.reshape(b, -1, self.num_classes))
@@ -118,24 +128,29 @@ class GaussianBranch(nn.Module):
     (cvpce/models/proposals.py:51-107)."""
     tanh: bool = False
     train: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, c2: Array, p3: Array) -> Array:
         def bn(x, name):
             return nn.BatchNorm(use_running_average=not self.train,
-                                momentum=0.9, epsilon=1e-5, name=name)(x)
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=self.dtype, name=name)(x)
 
         relu_init = nn.initializers.kaiming_normal()
         xavier = nn.initializers.xavier_normal()
 
         lat = nn.Conv(256, (1, 1), kernel_init=xavier,
-                      bias_init=nn.initializers.zeros, name="lateral")(c2)
+                      bias_init=nn.initializers.zeros, dtype=self.dtype,
+                      name="lateral")(c2)
         x = lat + upsample_nearest_2x(p3)
         x = nn.relu(bn(nn.Conv(128, (3, 3), padding=[(1, 1), (1, 1)],
-                               kernel_init=relu_init, name="block1_conv")(x),
+                               kernel_init=relu_init, dtype=self.dtype,
+                               name="block1_conv")(x),
                        "block1_bn"))
         x = nn.relu(bn(nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)],
-                               kernel_init=relu_init, name="block2_conv")(x),
+                               kernel_init=relu_init, dtype=self.dtype,
+                               name="block2_conv")(x),
                        "block2_bn"))
         x = upsample_nearest_2x(x)
 
@@ -144,11 +159,13 @@ class GaussianBranch(nn.Module):
         for i, (ch, k) in enumerate(spec):
             pad = [(k // 2, k // 2)] * 2
             x = nn.relu(nn.Conv(ch, (k, k), padding=pad,
-                                kernel_init=relu_init,
+                                kernel_init=relu_init, dtype=self.dtype,
                                 name=f"subnet_{i}")(x))
         final_init = (nn.initializers.xavier_normal() if self.tanh
                       else nn.initializers.kaiming_normal())
-        x = nn.Conv(1, (1, 1), kernel_init=final_init, name="subnet_4")(x)
+        x = nn.Conv(1, (1, 1), kernel_init=final_init, dtype=self.dtype,
+                    name="subnet_4")(x)
+        x = x.astype(jnp.float32)
         return jnp.tanh(x) if self.tanh else nn.relu(x)
 
 
@@ -159,13 +176,16 @@ class GLN(nn.Module):
 
     @nn.compact
     def __call__(self, images: Array) -> Dict[str, Array]:
-        feats = ResNet50(norm="frozen", name="body")(images)
-        pyramid = FPN(name="fpn")(feats["c3"], feats["c4"], feats["c5"])
+        dt = jnp.dtype(self.config.compute_dtype)
+        feats = ResNet50(norm="frozen", dtype=dt, name="body")(images)
+        pyramid = FPN(dtype=dt, name="fpn")(
+            feats["c3"], feats["c4"], feats["c5"])
         heatmap = GaussianBranch(
-            tanh=self.config.tanh, train=self.train, name="gaussian"
+            tanh=self.config.tanh, train=self.train, dtype=dt,
+            name="gaussian"
         )(feats["c2"], pyramid[0])
         cls_logits, bbox_regression = RetinaNetHead(
-            num_classes=self.config.num_classes, name="head"
+            num_classes=self.config.num_classes, dtype=dt, name="head"
         )(pyramid)
         return {
             "cls_logits": cls_logits,          # (B, A, K)
@@ -237,7 +257,14 @@ def postprocess_detections(
         cand_valid = jnp.isfinite(cand_scores)
         cand_scores = jnp.where(cand_valid, cand_scores, 0.0)
 
-        keep = nms_mask(cand_boxes, cand_scores, cand_valid, cfg.nms_thresh)
+        if cfg.use_pallas_nms:
+            from ..ops.nms_pallas import nms_mask_pallas
+
+            keep = nms_mask_pallas(cand_boxes, cand_scores, cand_valid,
+                                   cfg.nms_thresh)
+        else:
+            keep = nms_mask(cand_boxes, cand_scores, cand_valid,
+                            cfg.nms_thresh)
         kept_scores = jnp.where(keep, cand_scores, -jnp.inf)
         d = min(cfg.detections_per_img, c)
         out_scores, out_idx = jax.lax.top_k(kept_scores, d)

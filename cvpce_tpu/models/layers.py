@@ -34,8 +34,10 @@ class FrozenBatchNorm(nn.Module):
                              lambda: jnp.zeros(self.features, jnp.float32))
         var = self.variable("frozen", "var",
                             lambda: jnp.ones(self.features, jnp.float32))
+        # fold stats in f32, apply in the activation dtype
         inv = scale.value / jnp.sqrt(var.value + self.eps)
-        return x * inv + (bias.value - mean.value * inv)
+        shift = bias.value - mean.value * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class BatchNorm(nn.Module):
@@ -55,8 +57,13 @@ class BatchNorm(nn.Module):
 
 
 def conv(features: int, kernel: int, strides: int = 1, use_bias: bool = False,
-         name: Optional[str] = None, padding: Optional[int] = None) -> nn.Conv:
-    """3x3/1x1/7x7 conv with torch-style symmetric padding."""
+         name: Optional[str] = None, padding: Optional[int] = None,
+         dtype=jnp.float32) -> nn.Conv:
+    """3x3/1x1/7x7 conv with torch-style symmetric padding.
+
+    `dtype` is the compute dtype (params stay f32): pass bfloat16 to run
+    on the MXU's native precision.
+    """
     if padding is None:
         padding = kernel // 2
     return nn.Conv(
@@ -66,7 +73,7 @@ def conv(features: int, kernel: int, strides: int = 1, use_bias: bool = False,
         padding=[(padding, padding), (padding, padding)],
         use_bias=use_bias,
         name=name,
-        dtype=jnp.float32,
+        dtype=dtype,
     )
 
 

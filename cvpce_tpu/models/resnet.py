@@ -12,7 +12,7 @@ outputs).
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Any, Dict, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -29,6 +29,7 @@ class _Norm(nn.Module):
     features: int
     kind: str = "frozen"  # 'frozen' | 'batch' | 'none'
     train: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -37,7 +38,7 @@ class _Norm(nn.Module):
         if self.kind == "batch":
             return nn.BatchNorm(
                 use_running_average=not self.train, momentum=0.9,
-                epsilon=1e-5, name="bn",
+                epsilon=1e-5, name="bn", dtype=self.dtype,
             )(x)
         if self.kind == "none":
             return x
@@ -50,22 +51,26 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     norm: str = "frozen"
     train: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        dt = self.dtype
         residual = x
-        y = conv(self.features, 1, name="conv1")(x)
-        y = _Norm(self.features, self.norm, self.train, name="bn1")(y)
+        y = conv(self.features, 1, name="conv1", dtype=dt)(x)
+        y = _Norm(self.features, self.norm, self.train, dt, name="bn1")(y)
         y = nn.relu(y)
-        y = conv(self.features, 3, strides=self.strides, name="conv2")(y)
-        y = _Norm(self.features, self.norm, self.train, name="bn2")(y)
+        y = conv(self.features, 3, strides=self.strides, name="conv2",
+                 dtype=dt)(y)
+        y = _Norm(self.features, self.norm, self.train, dt, name="bn2")(y)
         y = nn.relu(y)
-        y = conv(self.features * 4, 1, name="conv3")(y)
-        y = _Norm(self.features * 4, self.norm, self.train, name="bn3")(y)
+        y = conv(self.features * 4, 1, name="conv3", dtype=dt)(y)
+        y = _Norm(self.features * 4, self.norm, self.train, dt,
+                  name="bn3")(y)
         if self.downsample:
             residual = conv(self.features * 4, 1, strides=self.strides,
-                            name="downsample_conv")(x)
-            residual = _Norm(self.features * 4, self.norm, self.train,
+                            name="downsample_conv", dtype=dt)(x)
+            residual = _Norm(self.features * 4, self.norm, self.train, dt,
                              name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
@@ -74,11 +79,13 @@ class ResNet50(nn.Module):
     norm: str = "frozen"
     train: bool = False
     stages: Sequence[int] = RESNET50_STAGES
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Dict[str, Array]:
-        y = conv(64, 7, strides=2, name="conv1")(x)
-        y = _Norm(64, self.norm, self.train, name="bn1")(y)
+        x = x.astype(self.dtype)
+        y = conv(64, 7, strides=2, name="conv1", dtype=self.dtype)(x)
+        y = _Norm(64, self.norm, self.train, self.dtype, name="bn1")(y)
         y = nn.relu(y)
         c1 = y
         y = max_pool(y, 3, 2, padding=1)
@@ -95,6 +102,7 @@ class ResNet50(nn.Module):
                     downsample=block_i == 0,
                     norm=self.norm,
                     train=self.train,
+                    dtype=self.dtype,
                     name=f"layer{stage_i + 1}_{block_i}",
                 )(y)
             feats[f"c{stage_i + 2}"] = y

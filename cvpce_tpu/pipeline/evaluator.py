@@ -17,8 +17,26 @@ from . import planograms as pg
 
 
 class PlanogramComparator:
-    def __init__(self, graph_threshold: float = 0.5):
+    def __init__(self, graph_threshold: float = 0.5,
+                 use_native: bool = True):
         self.graph_threshold = graph_threshold
+        self._native = None
+        if use_native:
+            from . import native
+
+            if native.available():
+                self._native = native
+
+    def _build_graph(self, boxes, labels):
+        if self._native is not None:
+            return self._native.build_graph(boxes, labels,
+                                            self.graph_threshold)
+        return pg.build_graph(boxes, labels, self.graph_threshold)
+
+    def _match(self, ge, ga):
+        if self._native is not None:
+            return self._native.large_common_subgraph(ge, ga)
+        return pg.large_common_subgraph(ge, ga)
 
     def compare(self, expected: Dict, actual: Dict,
                 image: Optional[np.ndarray] = None,
@@ -34,11 +52,9 @@ class PlanogramComparator:
 
         ge = expected.get("graph")
         if ge is None:
-            ge = pg.build_graph(expected["boxes"], expected["labels"],
-                                self.graph_threshold)
-        ga = pg.build_graph(actual["boxes"], actual["labels"],
-                            self.graph_threshold)
-        matching = pg.large_common_subgraph(ge, ga)
+            ge = self._build_graph(expected["boxes"], expected["labels"])
+        ga = self._build_graph(actual["boxes"], actual["labels"])
+        matching = self._match(ge, ga)
         if not len(matching):
             return 0.0
 
