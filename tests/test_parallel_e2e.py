@@ -1,0 +1,157 @@
+"""Data-parallel mesh test + end-to-end pipeline test with stub models."""
+import jax
+import numpy as np
+import pytest
+
+from cvpce_tpu.models.gln import GLNConfig
+from cvpce_tpu.parallel import (
+    data_parallel_mesh,
+    make_dp_train_step,
+    put_replicated,
+)
+from cvpce_tpu.train.gln import (
+    GLNTrainConfig,
+    init_train_state,
+    make_train_step,
+)
+
+
+class TestDataParallel:
+    @pytest.mark.slow
+    def test_dp_step_matches_single_device(self):
+        """The mesh step must compute the same update as single-device on
+        the same global batch (all-reduce == concatenated mean)."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device")
+        model_cfg = GLNConfig(canvas_h=64, canvas_w=64,
+                              max_nms_candidates=128, detections_per_img=64)
+        train_cfg = GLNTrainConfig(match_chunk=1024, min_negatives=64,
+                                   steps_per_epoch=10)
+        anchors, _ = model_cfg.anchors()
+
+        rng = np.random.default_rng(0)
+        b = 2
+        images = rng.uniform(0, 1, (b, 64, 64, 3)).astype(np.float32)
+        boxes = np.zeros((b, 8, 4), np.float32)
+        boxes[:, :, 2:] = 16.0
+        valid = np.ones((b, 8), bool)
+        sizes = np.full((b, 2), 64, np.int32)
+
+        state, optimizer = init_train_state(model_cfg, train_cfg,
+                                            jax.random.PRNGKey(0))
+        step = make_train_step(model_cfg, train_cfg, anchors, optimizer)
+
+        single_state, single_metrics = jax.jit(step)(
+            state, images, boxes, valid, sizes)
+
+        mesh = data_parallel_mesh(jax.devices()[:2])
+        dp_step = make_dp_train_step(step, mesh, donate_state=False)
+        state2, _ = init_train_state(model_cfg, train_cfg,
+                                     jax.random.PRNGKey(0))
+        state2 = put_replicated(state2, mesh)
+        dp_state, dp_metrics = dp_step(state2, images, boxes, valid, sizes)
+
+        assert float(dp_metrics["total"]) == pytest.approx(
+            float(single_metrics["total"]), rel=1e-4)
+        leaf_a = np.asarray(single_state.params["head"]["cls_logits"]["bias"])
+        leaf_b = np.asarray(dp_state.params["head"]["cls_logits"]["bias"])
+        np.testing.assert_allclose(leaf_a, leaf_b, atol=1e-5)
+
+
+class _StubGenerator:
+    """Emits fixed detections (grid boxes + noise)."""
+
+    def __init__(self, boxes, crops):
+        self._boxes = boxes
+        self._crops = crops
+        self.confidence_threshold = 0.5
+
+    def generate_proposals_and_images(self, image):
+        return self._boxes, self._crops
+
+    def detect_with_crops(self, image):
+        return {"boxes": self._boxes,
+                "scores": np.linspace(0.99, 0.6, len(self._boxes)),
+                "crops": self._crops}
+
+
+class _StubClassifier:
+    """Labels crop i as labels[i]."""
+
+    def __init__(self, labels, k=1):
+        self._labels = labels
+        self.k = k
+
+    def classify(self, images, return_embedding=False):
+        res = [[self._labels[i % len(self._labels)]]
+               for i in range(len(images))]
+        return (res, None) if return_embedding else res
+
+
+class TestEndToEndPipeline:
+    def _grid(self, rows, cols, w=20.0, h=20.0, gap=4.0):
+        return np.asarray([[c * (w + gap), r * (h + gap),
+                            c * (w + gap) + w, r * (h + gap) + h]
+                           for r in range(rows) for c in range(cols)],
+                          np.float32)
+
+    def test_fully_compliant_scene(self):
+        from cvpce_tpu.pipeline.evaluator import (PlanogramComparator,
+                                                  PlanogramEvaluator)
+
+        boxes = self._grid(3, 3)
+        labels = [f"p{i}" for i in range(9)]
+        rng = np.random.default_rng(0)
+        detected = boxes + rng.uniform(-1, 1, boxes.shape).astype(np.float32)
+        crops = np.zeros((9, 256, 256, 3), np.float32)
+        evaluator = PlanogramEvaluator(
+            _StubGenerator(detected, crops),
+            _StubClassifier(labels),
+            PlanogramComparator(),
+        )
+        image = np.zeros((80, 80, 3), np.float32)
+        score = evaluator.evaluate(image, {"boxes": boxes, "labels": labels})
+        assert score == pytest.approx(1.0)
+
+    def test_empty_scene_scores_zero(self):
+        from cvpce_tpu.pipeline.evaluator import (PlanogramComparator,
+                                                  PlanogramEvaluator)
+
+        boxes = self._grid(2, 2)
+        evaluator = PlanogramEvaluator(
+            _StubGenerator(np.zeros((0, 4), np.float32),
+                           np.zeros((0, 256, 256, 3), np.float32)),
+            _StubClassifier(["x"]),
+            PlanogramComparator(),
+        )
+        image = np.zeros((60, 60, 3), np.float32)
+        score = evaluator.evaluate(
+            image, {"boxes": boxes, "labels": list("abcd")})
+        assert score == 0.0
+
+    def test_compliance_eval_loop(self):
+        from cvpce_tpu.eval.compliance import evaluate_planograms
+        from cvpce_tpu.pipeline.evaluator import (PlanogramComparator,
+                                                  PlanogramEvaluator)
+
+        boxes = self._grid(3, 3)
+        labels = [f"p{i}" for i in range(9)]
+        detected = boxes * 1.02
+        crops = np.zeros((9, 256, 256, 3), np.float32)
+        evaluator = PlanogramEvaluator(
+            _StubGenerator(detected, crops), _StubClassifier(labels),
+            PlanogramComparator(),
+        )
+
+        class _Set:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                img = np.zeros((80, 80, 3), np.float32)
+                return img, {"boxes": boxes, "labels": labels,
+                             "actual_accuracy": 1.0}
+
+        res = evaluate_planograms(evaluator, _Set(), verbose=False)
+        assert res["mean_accuracy"] == pytest.approx(1.0)
+        assert res["mse"] == pytest.approx(0.0)
