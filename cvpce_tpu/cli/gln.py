@@ -147,14 +147,30 @@ def eval_cmd(imgs, annotations, weights, dataset_type, coco, batch_size,
 
 def _load_eval_dataset(dataset_type, imgs, annotations, config):
     from ..data.sku110k import SKU110KDataset
+    from ..eval.proposals import DetectionEvalAdapter
 
     if dataset_type == "sku110k":
         return SKU110KDataset(imgs, annotations,
                               skip=defaults.SKU110K_SKIP, flip_chance=0.0,
                               canvas_h=config.canvas_h,
                               canvas_w=config.canvas_w)
-    raise click.UsageError(
-        f"dataset type {dataset_type} wiring lands with the GP eval path")
+    if dataset_type == "gp180":
+        from ..data.grocery import GroceryProductsTestSet
+
+        base = GroceryProductsTestSet(imgs or defaults.GP_TEST_DIR,
+                                      annotations or defaults.GP_ANN_DIR)
+        return DetectionEvalAdapter(
+            base, lambda it: (it[0], it[2]),
+            config.canvas_h, config.canvas_w)
+    if dataset_type == "gpbaseline":
+        from ..data.grocery import GPBaselineDataset
+
+        base = GPBaselineDataset(imgs, annotations
+                                 or defaults.GP_BASELINE_ANN_FILE)
+        return DetectionEvalAdapter(
+            base, lambda it: (it[0], it[1]),
+            config.canvas_h, config.canvas_w)
+    raise click.UsageError(f"unknown dataset type {dataset_type}")
 
 
 @gln.command()

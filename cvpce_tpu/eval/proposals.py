@@ -35,6 +35,34 @@ def make_inference_fn(variables: Dict, config: GLNConfig) -> Callable:
     return infer
 
 
+class DetectionEvalAdapter:
+    """Wrap any (image, boxes) dataset into canvas-transformed eval items
+    so evaluate_gln can consume GP-180 / GP-baseline sets too
+    (cvpce/cli/gln.py:230-280 evaluates gp/gpbaseline besides sku110k)."""
+
+    def __init__(self, base, extract, canvas_h: int, canvas_w: int):
+        """extract: item -> (image HWC [0,1], boxes (T, 4))."""
+        self.base = base
+        self.extract = extract
+        self.canvas_h = canvas_h
+        self.canvas_w = canvas_w
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i: int) -> Dict:
+        img, boxes = self.extract(self.base[i])
+        canvas, sboxes, (ch, cw), scale = T.detection_canvas(
+            img, boxes, self.canvas_h, self.canvas_w)
+        return {
+            "image": canvas,
+            "boxes": sboxes,
+            "image_size": np.array([ch, cw], np.int32),
+            "scale": np.float32(scale),
+            "orig_boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+        }
+
+
 def evaluate_gln(variables: Dict, dataset, config: GLNConfig,
                  thresholds: Sequence[float] = (0.5,),
                  batch_size: int = 4, score_min: float = 0.0,

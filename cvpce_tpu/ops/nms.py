@@ -106,3 +106,25 @@ def nms_topk(boxes: Array, scores: Array, valid: Array, k: int,
     top_scores, idx = jax.lax.top_k(kept_scores, k)
     out_valid = jnp.isfinite(top_scores)
     return boxes[idx], jnp.where(out_valid, top_scores, 0.0), out_valid
+
+
+@jax.jit
+def merge_boxes(boxes: Array, scores: Array, valid: Array, keep: Array,
+                iou_threshold: float = 0.5) -> Array:
+    """Score-weighted box merging (EM-merge / box-voting variant).
+
+    After NMS, each surviving box is refined to the score-weighted mean of
+    all detections it suppressed (IoU > threshold) — the fixed-shape
+    analogue of SKU-110K-style EM merging of overlapping detections
+    (BASELINE.json lists Soft-NMS/EM merge as hot post-processing). One
+    (K, N) IoU matrix + one matmul; no loops.
+    """
+    iou = pairwise_iou(boxes, boxes)  # (N, N)
+    # self-weight included via the IoU diagonal (iou[i, i] == 1)
+    w = jnp.where(
+        keep[:, None] & valid[None, :] & (iou > iou_threshold),
+        iou * scores[None, :], 0.0,
+    )
+    total = jnp.maximum(w.sum(-1, keepdims=True), 1e-12)
+    merged = (w @ boxes) / total
+    return jnp.where(keep[:, None], merged, boxes)

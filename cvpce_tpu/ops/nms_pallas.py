@@ -1,16 +1,18 @@
-"""Pallas TPU kernel for hard NMS (bitmask algorithm).
+"""Pallas TPU kernel for hard NMS.
 
 The XLA fallback (ops/nms.py) runs the greedy suppression as an N-step
-`fori_loop` over (N,)-wide vector ops; on TPU every iteration pays loop
-overhead, which dominates at N ~ 2000 candidates. This kernel uses the
-classic bitmask formulation (as torchvision's CUDA nms does): a parallel
-stage packs `i suppresses j` bits into uint32 words (N x N/32), then the
-inherently-serial greedy pass runs *inside* the kernel over the packed
-words — one (N/32,)-wide VPU op per candidate instead of one XLA loop
-iteration.
+`fori_loop` over (N,)-wide vector updates; on TPU every iteration pays
+XLA while-loop overhead, which dominates at N ~ 2000 candidates. Here the
+whole serial pass runs inside one kernel: per candidate, its IoU row is
+computed on the fly against all boxes (a handful of (1, N) VPU ops) and
+OR-ed into a (1, N) suppression vector. No N x N materialization, no
+bitset packing (mosaic's layout inference rejects lane-splitting
+reshapes), ~15 vector ops per candidate.
 
-Inputs must be pre-sorted by descending score (the wrapper handles
-sorting + padding). Returns a keep mask in sorted order.
+Layout note: boxes enter TRANSPOSED as an (8, N) f32 block (rows x1, y1,
+x2, y2, pad...) so coordinate vectors live on the lane dimension without
+any sublane->lane shape cast. Inputs must be pre-sorted by descending
+score (the wrapper sorts + pads). Returns the keep mask in sorted order.
 """
 from __future__ import annotations
 
@@ -23,95 +25,75 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-ROW_BLOCK = 256
-LANES = 32  # bits per word
+ALIGN = 256
 
 
-def _nms_kernel(boxes_ref, thresh_ref, keep_ref, mask_ref, supp_ref):
-    n = boxes_ref.shape[0]
-    w = n // LANES
-
-    x1 = boxes_ref[:, 0]
-    y1 = boxes_ref[:, 1]
-    x2 = boxes_ref[:, 2]
-    y2 = boxes_ref[:, 3]
+def _nms_kernel(boxes_t_ref, thresh_ref, keep_ref, supp_ref):
+    n = boxes_t_ref.shape[1]
+    x1 = boxes_t_ref[0:1, :]
+    y1 = boxes_t_ref[1:2, :]
+    x2 = boxes_t_ref[2:3, :]
+    y2 = boxes_t_ref[3:4, :]
     area = (x2 - x1) * (y2 - y1)
     thresh = thresh_ref[0]
 
-    num_blocks = n // ROW_BLOCK
-    pow2 = (jnp.uint32(1) << jax.lax.broadcasted_iota(
-        jnp.uint32, (1, 1, LANES), 2))
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    supp_ref[0:1, :] = jnp.zeros((1, n), jnp.int32)
+    neg = jnp.float32(-3.0e38)
 
-    def stage_a(b, _):
-        r0 = b * ROW_BLOCK
-        sl = lambda v: jax.lax.dynamic_slice_in_dim(v, r0, ROW_BLOCK)
-        rx1 = sl(x1)[:, None]
-        ry1 = sl(y1)[:, None]
-        rx2 = sl(x2)[:, None]
-        ry2 = sl(y2)[:, None]
-        rarea = sl(area)[:, None]
-
-        ix1 = jnp.maximum(rx1, x1[None, :])
-        iy1 = jnp.maximum(ry1, y1[None, :])
-        ix2 = jnp.minimum(rx2, x2[None, :])
-        iy2 = jnp.minimum(ry2, y2[None, :])
-        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
-        union = rarea + area[None, :] - inter
-        iou = inter / jnp.maximum(union, 1e-12)
-
-        row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (ROW_BLOCK, n), 0) + r0
-        bits = (iou > thresh) & (col_ids > row_ids)
-        packed = jnp.sum(
-            bits.reshape(ROW_BLOCK, w, LANES).astype(jnp.uint32) * pow2,
-            axis=2, dtype=jnp.uint32)
-        mask_ref[pl.ds(r0, ROW_BLOCK), :] = packed
-        return 0
-
-    jax.lax.fori_loop(0, num_blocks, stage_a, 0)
-
-    # serial greedy pass over packed suppression rows
-    supp_ref[0, :] = jnp.zeros((w,), jnp.uint32)
-
-    def stage_b(i, _):
-        word = supp_ref[0, i // LANES]
-        bit = (word >> (i % LANES).astype(jnp.uint32)) & jnp.uint32(1)
-        alive = bit == 0
-        keep_ref[i] = alive.astype(jnp.int32)
+    def body(i, _):
+        supp = supp_ref[0:1, :]
+        sel = col == i
+        alive = jnp.max(jnp.where(sel, supp, 0)) == 0
 
         @pl.when(alive)
         def _():
-            supp_ref[0, :] = supp_ref[0, :] | mask_ref[i, :]
+            # extract candidate i's box via masked max (no scalar gather)
+            rx1 = jnp.max(jnp.where(sel, x1, neg))
+            ry1 = jnp.max(jnp.where(sel, y1, neg))
+            rx2 = jnp.max(jnp.where(sel, x2, neg))
+            ry2 = jnp.max(jnp.where(sel, y2, neg))
+            rarea = (rx2 - rx1) * (ry2 - ry1)
+
+            ix1 = jnp.maximum(rx1, x1)
+            iy1 = jnp.maximum(ry1, y1)
+            ix2 = jnp.minimum(rx2, x2)
+            iy2 = jnp.minimum(ry2, y2)
+            inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+            union = rarea + area - inter
+            iou = inter / jnp.maximum(union, 1e-12)
+            mark = ((iou > thresh) & (col > i)).astype(jnp.int32)
+            supp_ref[0:1, :] = supp | mark
 
         return 0
 
-    jax.lax.fori_loop(0, n, stage_b, 0)
+    jax.lax.fori_loop(0, n, body, 0)
+    keep_ref[0:1, :] = 1 - supp_ref[0:1, :]
 
 
 def nms_keep_sorted(boxes_sorted: Array, iou_threshold: float,
                     interpret: bool = False) -> Array:
     """Keep mask for score-desc-sorted (N, 4) boxes; N must be a multiple
-    of ROW_BLOCK (pad with far-away dummies)."""
+    of ALIGN (pad with far-away dummies)."""
     n = boxes_sorted.shape[0]
-    assert n % ROW_BLOCK == 0, n
-    w = n // LANES
+    assert n % ALIGN == 0, n
+    boxes_t = jnp.zeros((8, n), boxes_sorted.dtype).at[:4, :].set(
+        boxes_sorted.T)
     thresh = jnp.asarray([iou_threshold], jnp.float32)
     keep = pl.pallas_call(
         _nms_kernel,
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n, w), jnp.uint32),
-            pltpu.VMEM((1, w), jnp.uint32),
+            pltpu.VMEM((1, n), jnp.int32),
         ],
         interpret=interpret,
-    )(boxes_sorted, thresh)
-    return keep.astype(bool)
+    )(boxes_t, thresh)
+    return keep[0].astype(bool)
 
 
 @functools.partial(jax.jit,
@@ -121,11 +103,11 @@ def nms_mask_pallas(boxes: Array, scores: Array, valid: Array,
                     interpret: bool = False) -> Array:
     """Drop-in replacement for ops.nms.nms_mask using the Pallas kernel.
 
-    Pads to a ROW_BLOCK multiple, sorts by score, runs the kernel, and
+    Pads to an ALIGN multiple, sorts by score, runs the kernel, and
     scatters the keep mask back to input order.
     """
     n = boxes.shape[0]
-    pad = (-n) % ROW_BLOCK
+    pad = (-n) % ALIGN
     if pad:
         far = jnp.full((pad, 4), -1e6, boxes.dtype).at[:, 2:].add(1.0)
         boxes = jnp.concatenate([boxes, far], 0)

@@ -150,3 +150,23 @@ class TestRansac:
         _, _, ok = rnsc.find_homography_ransac(
             src, dst, valid, jax.random.PRNGKey(2))
         assert not bool(ok)
+
+
+class TestMergeBoxes:
+    def test_weighted_merge(self):
+        from cvpce_tpu.ops.nms import merge_boxes
+
+        boxes = np.array([[0, 0, 10, 10], [2, 2, 12, 12],
+                          [40, 40, 50, 50]], np.float32)
+        scores = np.array([0.9, 0.6, 0.8], np.float32)
+        valid = np.ones(3, bool)
+        keep = np.array([True, False, True])
+        merged = np.asarray(merge_boxes(boxes, scores, valid, keep, 0.3))
+        # box 0 pulls toward box 1, weighted by iou*score
+        iou01 = 64 / (200 - 64)
+        w0, w1 = 1.0 * 0.9, iou01 * 0.6
+        want0 = (w0 * boxes[0] + w1 * boxes[1]) / (w0 + w1)
+        np.testing.assert_allclose(merged[0], want0, rtol=1e-5)
+        # isolated kept box unchanged; suppressed box passes through
+        np.testing.assert_allclose(merged[2], boxes[2], rtol=1e-6)
+        np.testing.assert_allclose(merged[1], boxes[1])
