@@ -29,9 +29,16 @@ def load_gln_variables(weights: Optional[str], config: GLNConfig) -> Dict:
     return _merge(variables, imported)
 
 
-def load_embedder(weights: Optional[str], batch_norm: bool = True):
-    """Returns (encoder_fn, embedding_size). Accepts a torchvision
-    vgg16(_bn) state_dict or a reference MACVGG embedder checkpoint."""
+def load_embedder(weights: Optional[str], batch_norm: bool = True,
+                  encoder: str = "vgg16"):
+    """Returns (encoder_fn, embedding_size).
+
+    encoder='vgg16': MACVGG; accepts torchvision vgg16(_bn) or reference
+    MACVGG checkpoints. encoder='resnet50': MACResNet; accepts torchvision
+    resnet50 state_dicts (cvpce/cli/dihe.py:257-309 offers both trunks).
+    """
+    if encoder == "resnet50":
+        return _load_macresnet(weights)
     model = MACVGG(batch_norm=batch_norm, train=False)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32))
@@ -54,6 +61,27 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True):
             imported = import_vgg16_features(remapped, batch_norm=batch_norm)
         else:
             raise ValueError("unrecognized embedder checkpoint layout")
+        variables = _merge(variables, imported)
+
+    @jax.jit
+    def encode(imgs):
+        return model.apply(variables, imgs)
+
+    return encode, model.embedding_size
+
+
+def _load_macresnet(weights: Optional[str]):
+    from ..models.embedders import MACResNet
+
+    model = MACResNet(train=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32))
+    if weights is not None:
+        from ..utils.torch_import import import_resnet50, load_state_dict
+
+        sd = load_state_dict(weights)
+        imported = import_resnet50(sd, norm="batch",
+                                   flax_prefix=["trunk"])
         variables = _merge(variables, imported)
 
     @jax.jit

@@ -201,3 +201,92 @@ def internal_visualize(root, index, out):
     ds = InternalPlanoSet(root)
     img, plano = ds[index]
     _save_boxes_viz(img, plano["boxes"], out, labels=plano["labels"])
+
+
+@gp.command("visualize-train")
+@click.option("--source", multiple=True, default=defaults.GP_TRAIN_FOLDERS,
+              show_default=True)
+@click.option("--index", default=0, show_default=True)
+@click.option("--out", required=True)
+def gp_visualize_train(source, index, out):
+    """Training gallery item: embedder input vs generator crop
+    (cvpce/cli/datasets/gp.py visualize-train)."""
+    from ..data.grocery import GroceryProductsDataset
+    from ..data.transforms import scale_to_tanh
+    from ..utils.viz import save_multiple
+
+    ds = GroceryProductsDataset(list(source))
+    emb, gen, hier = ds[index]
+    save_multiple([(emb + 1) / 2, (gen[..., :3] + 1) / 2], out)
+    click.echo(f"{'/'.join(hier)} -> {out}")
+
+
+@gp.command("train-distribution")
+@click.option("--source", multiple=True, default=defaults.GP_TRAIN_FOLDERS,
+              show_default=True)
+@click.option("--out", default=None, help="save a treemap here")
+def gp_train_distribution(source, out):
+    """Top-level category counts of the training gallery
+    (cvpce/cli/datasets/gp.py train-distribution treemaps)."""
+    from collections import Counter
+
+    from ..data.grocery import GroceryProductsDataset
+
+    ds = GroceryProductsDataset(list(source), random_crop=False)
+    counts = Counter(c[0] if c else "(root)" for c in ds.categories)
+    for name, n in counts.most_common():
+        click.echo(f"{n:6d}  {name}")
+    if out:
+        from ..utils.viz import category_treemap
+
+        category_treemap(dict(counts), out)
+        click.echo(f"saved {out}")
+
+
+@sku110k.command("visualize-discriminator-target")
+@click.option("--imgs", default=defaults.SKU110K_IMG_DIR, show_default=True)
+@click.option("--annotations", default=defaults.SKU110K_ANNOTATION_FILE,
+              show_default=True)
+@click.option("--index", default=0, show_default=True)
+@click.option("--out", required=True)
+def sku_visualize_discriminator_target(imgs, annotations, index, out):
+    """One 'real' 256x256 product crop as the GAN discriminator sees it
+    (cvpce/cli/datasets/sku110k.py visualize-discriminator-target)."""
+    from ..data.sku110k import TargetDomainDataset
+    from ..utils.viz import save_multiple
+
+    ds = TargetDomainDataset(imgs, annotations,
+                             skip=defaults.SKU110K_SKIP)
+    save_multiple([ds[index]], out)
+    click.echo(f"saved {out} ({len(ds)} crops total)")
+
+
+@grozi.command("visualize-train")
+@click.option("--root", default=defaults.GROZI_ROOT, show_default=True)
+@click.option("--index", default=0, show_default=True)
+@click.option("--out", required=True)
+def grozi_visualize_train(root, index, out):
+    from ..data.grozi import GroZiDataset
+    from ..utils.viz import save_multiple
+
+    ds = GroZiDataset(root)
+    img, ann = ds[index]
+    save_multiple([img], out)
+    click.echo(f"product {ann} -> {out}")
+
+
+@internal.command("iter-train")
+@click.option("--root", required=True)
+def internal_iter_train(root):
+    """Iterate the internal trainset checking loadability
+    (cvpce/cli/datasets/internal.py iter-train)."""
+    from ..data.grocery import InternalTrainSet
+
+    ds = InternalTrainSet(root)
+    for i in range(len(ds)):
+        try:
+            ds[i]
+        except Exception as e:  # noqa: BLE001
+            click.echo(f"FAIL {ds.paths[i]}: {e}")
+        if i % 100 == 0:
+            click.echo(f"{i}/{len(ds)}")

@@ -113,16 +113,18 @@ def train(source, imgs, annotations, test_imgs, test_annotations, out,
 @click.option("--k", multiple=True, type=int, default=(1, 5),
               show_default=True)
 @click.option("--batch-size", default=32, show_default=True)
+@click.option("--encoder", type=click.Choice(["vgg16", "resnet50"]),
+              default="vgg16", show_default=True)
 @click.option("--validation", is_flag=True,
               help="first 2 annotations per image (defaults.py:24-26)")
 def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
-             weights, k, batch_size, validation):
+             weights, k, batch_size, encoder, validation):
     """Gallery-kNN classification accuracy (cvpce/cli/dihe.py:257-309)."""
     from ..data.grocery import (GroceryProductsDataset,
                                 GroceryProductsTestSet)
     from ..eval.classification import eval_dihe
 
-    encoder_fn, emb_size = load_embedder(weights)
+    encoder_fn, emb_size = load_embedder(weights, encoder=encoder)
     sampleset = GroceryProductsDataset(list(source), random_crop=False,
                                        include_annotations=True)
     testset = GroceryProductsTestSet(

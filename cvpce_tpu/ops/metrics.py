@@ -126,6 +126,65 @@ def average_precision(precision: np.ndarray, recall: np.ndarray) -> float:
     return float(values.mean())
 
 
+class StreamingMetrics:
+    """Incremental metric accumulation — the evaluate-while-inferring
+    pattern the reference needed a multiprocessing fan-out for
+    (cvpce/metrics.py:140-175, which deadlocks under DDP —
+    proposals_training.py:117). The per-image matcher here is a device op,
+    so a plain accumulator suffices: call add() as results stream off the
+    device, result() at the end.
+    """
+
+    def __init__(self, iou_thresholds: Sequence[float] = (0.5,)):
+        self.thresholds = list(iou_thresholds)
+        self._tp: List[np.ndarray] = []
+        self._conf: List[np.ndarray] = []
+        self._recall_300 = {t: [] for t in self.thresholds}
+        self._total_targets = 0
+
+    def add(self, target_boxes, pred_boxes, confidences) -> None:
+        tgt = np.asarray(target_boxes, np.float32).reshape(-1, 4)
+        pred = np.asarray(pred_boxes, np.float32).reshape(-1, 4)
+        conf = np.asarray(confidences, np.float32).reshape(-1)
+        tp, conf_sorted = match_detections(tgt, pred, conf, self.thresholds)
+        self._tp.append(tp)
+        self._conf.append(conf_sorted)
+        self._total_targets += len(tgt)
+        for ti, t in enumerate(self.thresholds):
+            if len(conf_sorted) > 0 and len(tgt) > 0:
+                r300 = np.cumsum(tp[ti][:300])[-1] / len(tgt)
+            else:
+                r300 = 0.0
+            self._recall_300[t].append(float(r300))
+
+    def result(self) -> Dict:
+        merged_conf = (np.concatenate(self._conf)
+                       if self._conf else np.zeros(0, np.float32))
+        sort_idx = np.argsort(-merged_conf, kind="stable")
+        merged_conf = merged_conf[sort_idx]
+        res = {}
+        for ti, t in enumerate(self.thresholds):
+            tp = (np.concatenate([m[ti] for m in self._tp])
+                  if self._tp else np.zeros(0, np.float32))[sort_idx]
+            fp = 1.0 - tp
+            p, r = precision_and_recall(tp, fp, self._total_targets)
+            f = f_score(p, r)
+            if len(f) > 0:
+                mi = int(np.argmax(f))
+                best = (float(f[mi]), float(p[mi]), float(r[mi]),
+                        float(merged_conf[mi]))
+            else:
+                best = (0.0, 0.0, 0.0, 0.0)
+            rc = self._recall_300[t]
+            res[t] = {
+                "raw": {"p": p, "r": r, "f": f, "c": merged_conf},
+                "f": best[0], "p": best[1], "r": best[2], "c": best[3],
+                "ap": average_precision(p, r),
+                "ar_300": sum(rc) / len(rc) if rc else 0.0,
+            }
+        return res
+
+
 def calculate_metrics(targets: Sequence, predictions: Sequence,
                       confidences: Sequence,
                       iou_thresholds: Sequence[float] = (0.5,)) -> Dict:

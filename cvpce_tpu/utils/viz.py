@@ -93,6 +93,65 @@ def save_embedding_scatter(embeddings: np.ndarray, out: str,
     plt.close(fig)
 
 
+def plot_prfc(precision, recall, fscore, confidence, out: str,
+              title: Optional[str] = None,
+              resolution_reduction: int = 1) -> None:
+    """Recall-vs-{precision, F1, confidence} curves with max-F1
+    annotations (cvpce/metrics.py:177-204)."""
+    plt = _plt()
+    precision = np.asarray(precision)
+    recall = np.asarray(recall)
+    fscore = np.asarray(fscore)
+    confidence = np.asarray(confidence)
+
+    fig = plt.figure(figsize=(5, 2.5))
+    mi = int(fscore.argmax()) if len(fscore) else 0
+    if len(fscore):
+        plt.vlines(recall[mi], 0, 1, color="red", label="Max. $F_1$")
+        for val, color in ((confidence[mi], "orange"),
+                           (precision[mi], "blue"), (fscore[mi], "green")):
+            plt.hlines(val, 0, recall[mi], color=color, linestyles="dashed")
+    rr = slice(None, None, resolution_reduction)
+    plt.plot(recall[rr], confidence[rr], label="Confidence", color="orange")
+    plt.plot(recall[rr], precision[rr], label="Precision", color="blue")
+    plt.plot(recall[rr], fscore[rr], label="$F_1$", color="green")
+    if title:
+        plt.title(title)
+    plt.xlabel("Recall")
+    plt.xlim(0, 1)
+    plt.ylim(0, 1)
+    plt.legend()
+    fig.tight_layout(pad=0.5)
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+
+
+def category_treemap(counts: dict, out: str) -> None:
+    """Category distribution treemap (cvpce/utils.py:230-261 uses
+    squarify; this is a matplotlib-only slice-and-dice fallback)."""
+    plt = _plt()
+    from matplotlib import patches
+
+    total = sum(counts.values()) or 1
+    fig, ax = plt.subplots(figsize=(8, 6))
+    x = 0.0
+    items = sorted(counts.items(), key=lambda kv: -kv[1])
+    colors = plt.cm.tab20(np.linspace(0, 1, max(len(items), 1)))
+    for (name, n), color in zip(items, colors):
+        w = n / total
+        ax.add_patch(patches.Rectangle((x, 0), w, 1, facecolor=color,
+                                       edgecolor="white"))
+        if w > 0.03:
+            ax.text(x + w / 2, 0.5, f"{name}\n{n}", ha="center",
+                    va="center", fontsize=7, rotation=90 if w < 0.08 else 0)
+        x += w
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.axis("off")
+    fig.savefig(out, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
 def draw_planogram(boxes: np.ndarray, labels: Sequence, out: str,
                    matched: Optional[np.ndarray] = None) -> None:
     """Abstract planogram layout drawing (cvpce/utils.py:159-203)."""

@@ -134,3 +134,15 @@ def test_empty_predictions():
     )
     assert res[0.5]["ap"] == 0.0
     assert res[0.5]["f"] == 0.0
+
+
+def test_streaming_metrics_matches_batch():
+    from cvpce_tpu.ops.metrics import StreamingMetrics
+
+    streaming = metrics.StreamingMetrics((0.5,))
+    for t, p, c in zip(TARGETS, PREDICTIONS, CONFIDENCES):
+        streaming.add(t, p, c)
+    got = streaming.result()
+    want = metrics.calculate_metrics(TARGETS, PREDICTIONS, CONFIDENCES)
+    for key in ("ap", "ar_300", "p", "r", "f", "c"):
+        assert got[0.5][key] == pytest.approx(want[0.5][key], rel=1e-6), key
