@@ -290,3 +290,37 @@ def internal_iter_train(root):
             click.echo(f"FAIL {ds.paths[i]}: {e}")
         if i % 100 == 0:
             click.echo(f"{i}/{len(ds)}")
+
+
+@datasets.command("visualize-coco")
+@click.option("--imgs", default=defaults.DATA_DIR + "/coco/val2017",
+              show_default=True)
+@click.option("--annotations",
+              default=defaults.DATA_DIR
+              + "/coco/annotations/instances_val2017.json",
+              show_default=True)
+@click.option("--index", default=0, show_default=True)
+@click.option("--out", required=True)
+@click.option("--gaussians", is_flag=True,
+              help="also render the Gaussian target preview")
+def visualize_coco(imgs, annotations, index, out, gaussians):
+    """COCO visualization + optional Gaussian-target preview
+    (cvpce/cli/datasets/misc.py, without pycocotools)."""
+    from ..data.coco import CocoDetectionDataset
+
+    ds = CocoDetectionDataset(imgs, annotations)
+    img, entry = ds[index]
+    labels = [ds.categories.get(int(c), str(c)) for c in entry["labels"]]
+    _save_boxes_viz(img, entry["boxes"], out, labels=labels)
+    if gaussians:
+        from ..ops.gaussians import render_gaussians
+
+        hm = np.asarray(render_gaussians(
+            entry["boxes"], np.ones(len(entry["boxes"]), bool),
+            height=img.shape[0], width=img.shape[1], method="simple"))
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        plt.imsave(out.replace(".png", "_gauss.png"), hm, cmap="hot")
+        click.echo(f"saved {out.replace('.png', '_gauss.png')}")

@@ -71,13 +71,36 @@ def pipeline_demo(image, gallery, plano_path, gln_weights, encoder_weights,
 
 
 @misc.command("retinanet-coco-test")
-def retinanet_coco_test():
-    """COCO sanity check of the base detector (cvpce/cli/misc.py:29-101).
+@click.option("--imgs", required=True)
+@click.option("--annotations", required=True,
+              help="COCO instances_*.json")
+@click.option("--weights", required=True, help="GLN checkpoint")
+@click.option("--limit", default=100, show_default=True)
+@click.option("--coco-thresholds", "coco_sweep", is_flag=True)
+def retinanet_coco_test(imgs, annotations, weights, limit, coco_sweep):
+    """Base-detector sanity check on COCO (cvpce/cli/misc.py:29-101).
 
-    The reference validates torchvision's pretrained RetinaNet against
-    pycocotools; our base-detector sanity check is the golden metric suite
-    (tests/test_metrics_golden.py) plus `gln eval --coco`. pycocotools is
-    not available in this environment."""
-    raise click.UsageError(
-        "pycocotools unavailable; run `pytest tests/test_metrics_golden.py` "
-        "and `cvpce-tpu gln eval --coco` for the equivalent checks")
+    The reference runs torchvision's pretrained RetinaNet through
+    pycocotools COCOeval; here the detector is our GLN evaluated
+    class-agnostically with the reference metric suite (pycocotools-free:
+    data/coco.py is a pure-JSON reader, ops/metrics.py pins the AP
+    semantics via golden tests)."""
+    import numpy as np
+
+    from ..data.coco import CocoDetectionDataset
+    from ..eval.proposals import DetectionEvalAdapter, evaluate_gln
+
+    config = GLNConfig()
+    variables = load_gln_variables(weights, config)
+    base = CocoDetectionDataset(imgs, annotations)
+    if limit:
+        base.index = base.index[:limit]
+    adapter = DetectionEvalAdapter(
+        base, lambda it: (it[0], it[1]["boxes"]),
+        config.canvas_h, config.canvas_w)
+    thresholds = (tuple(np.arange(0.5, 1.0, 0.05).round(2))
+                  if coco_sweep else (0.5,))
+    res = evaluate_gln(variables, adapter, config, thresholds=thresholds)
+    summary = {str(t): {k: float(v) for k, v in d.items() if k != "raw"}
+               for t, d in res.items()}
+    click.echo(json.dumps(summary, indent=2))
