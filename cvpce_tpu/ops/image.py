@@ -110,6 +110,57 @@ def crop_resize_square(image: Array, boxes: Array,
     return jax.vmap(per_box)(x1, y1, cw, ch, side)
 
 
+def _tent_matrix(src_coords: Array, in_size: int) -> Array:
+    """(P,) fractional source coords -> (P, in_size) bilinear weights.
+
+    Row p holds the tent-kernel weights max(0, 1 - |src - h|): exactly the
+    two-tap bilinear interpolation, expressed densely so resampling
+    becomes a matmul on the MXU instead of a gather.
+    """
+    grid = jnp.arange(in_size, dtype=jnp.float32)[None, :]
+    src = jnp.clip(src_coords, 0.0, in_size - 1.0)[:, None]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src - grid))
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "compute_dtype"))
+def crop_resize_square_mxu(image: Array, boxes: Array,
+                           out_size: int = CLASSIFICATION_IMAGE_SIZE,
+                           compute_dtype=jnp.bfloat16) -> Array:
+    """MXU formulation of crop_resize_square: separable bilinear
+    resampling as two einsums with per-crop interpolation matrices.
+
+    Gathers are scalar-unit work on TPU and dominate the crop stage at
+    hundreds of detections/image; the dense-interp matmul runs on the
+    systolic array instead. Same sampling semantics as
+    crop_resize_square (integer box coords, align_corners=False, gray
+    square padding), within bf16 accumulation tolerance.
+    """
+    h, w = image.shape[0], image.shape[1]
+    b = boxes.astype(jnp.int32).astype(jnp.float32)
+    x1, y1 = b[:, 0], b[:, 1]
+    cw = b[:, 2] - x1
+    ch = b[:, 3] - y1
+    side = jnp.maximum(cw, ch)
+
+    p = jnp.arange(out_size, dtype=jnp.float32)
+    src = (p[None, :] + 0.5) * (side[:, None] / out_size) - 0.5  # (N, S)
+
+    ry = jax.vmap(lambda s, y0: _tent_matrix(s + y0, h))(src, y1)  # (N,S,H)
+    rx = jax.vmap(lambda s, x0: _tent_matrix(s + x0, w))(src, x1)  # (N,S,W)
+
+    img = image.astype(compute_dtype)
+    ry = ry.astype(compute_dtype)
+    rx = rx.astype(compute_dtype)
+    tmp = jnp.einsum("nsh,hwc->nswc", ry, img,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("nswc,ntw->nstc", tmp.astype(compute_dtype), rx,
+                     preferred_element_type=jnp.float32)
+
+    inside = ((src < cw[:, None]) & (src >= -0.5))[:, None, :, None] \
+        & ((src < ch[:, None]) & (src >= -0.5))[:, :, None, None]
+    return jnp.where(inside, out, PAD_VALUE)
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_bilinear(image: Array, out_h: int, out_w: int) -> Array:
     """Plain bilinear resize (align_corners=False) of an HWC image."""
