@@ -27,7 +27,7 @@ def main():
 
     from cvpce_tpu.models.embedders import MACVGG
     from cvpce_tpu.models.gln import GLN, GLNConfig, postprocess_detections
-    from cvpce_tpu.ops.image import crop_resize_square, scale_to_tanh
+    from cvpce_tpu.ops.image import crop_resize_square_mxu, scale_to_tanh
 
     platform = jax.devices()[0].platform
     # TPU-sized config on accelerators; shrink on CPU so the bench completes
@@ -71,7 +71,7 @@ def main():
                                      config)
         top_boxes = res["boxes"][:, :crops_per_image]
 
-        crops = jax.vmap(crop_resize_square)(imgs, top_boxes)
+        crops = jax.vmap(crop_resize_square_mxu)(imgs, top_boxes)
         crops = scale_to_tanh(crops).reshape(
             batch * crops_per_image, 256, 256, 3)
         # chunk the embed stage to bound peak HBM (f32 VGG activations)

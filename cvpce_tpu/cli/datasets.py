@@ -324,3 +324,46 @@ def visualize_coco(imgs, annotations, index, out, gaussians):
 
         plt.imsave(out.replace(".png", "_gauss.png"), hm, cmap="hot")
         click.echo(f"saved {out.replace('.png', '_gauss.png')}")
+
+
+@gp.command("fix")
+@click.option("--source", required=True,
+              type=click.Path(exists=True, file_okay=False))
+@click.option("--out", required=True, type=click.Path(file_okay=False))
+@click.option("--dry-run", is_flag=True)
+def gp_fix(source, out, dry_run):
+    """Repair a Grocery Products download whose files were renamed to
+    food_<n>.jpg: restore the sequential 1.jpg.. naming the Tonioni
+    annotations expect (cvpce/cli/datasets/gp.py fix). The first file in
+    each directory is a duplicate artifact and is dropped."""
+    import os
+    import re
+    import shutil
+
+    renamed_re = re.compile(r"food_(\d+).jpg")
+    stack = [(source, [])]
+    copied = 0
+    while stack:
+        cur, hier = stack.pop()
+        files = []
+        for entry in os.scandir(cur):
+            if entry.is_dir(follow_symlinks=False):
+                stack.append((entry.path, hier + [entry.name]))
+            elif entry.is_file():
+                m = renamed_re.match(entry.name)
+                if m:
+                    files.append((int(m.group(1)), entry))
+        if not files:
+            continue
+        files = [e for _, e in sorted(files)]
+        new_names = sorted(f"{i}.jpg" for i in range(1, len(files)))
+        out_path = os.path.join(out, *hier)
+        if not dry_run:
+            os.makedirs(out_path, exist_ok=True)
+        for f, new in zip(files[1:], new_names):  # first entry is garbage
+            if dry_run:
+                click.echo(f"{f.path} -> {os.path.join(out_path, new)}")
+            else:
+                shutil.copy(f.path, os.path.join(out_path, new))
+                copied += 1
+    click.echo(f"{'(dry run) ' if dry_run else ''}done, {copied} files")

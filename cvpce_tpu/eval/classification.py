@@ -12,7 +12,7 @@ from typing import Dict, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.image import crop_resize_square, scale_to_tanh
+from ..ops.image import crop_resize_square_mxu, scale_to_tanh
 from ..pipeline.classifier import Classifier
 
 
@@ -41,7 +41,7 @@ def eval_dihe(encoder_fn, embedding_size: int, sampleset, testset,
         boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
         boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
         crops = np.asarray(scale_to_tanh(
-            crop_resize_square(jnp.asarray(img), jnp.asarray(boxes))))
+            crop_resize_square_mxu(jnp.asarray(img), jnp.asarray(boxes))))
         pred_anns = classifier.classify(crops)
 
         total += len(target_anns)

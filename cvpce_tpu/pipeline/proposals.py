@@ -16,7 +16,7 @@ import numpy as np
 
 from ..data import transforms as T
 from ..models.gln import GLN, GLNConfig, postprocess_detections
-from ..ops.image import crop_resize_square, scale_to_tanh
+from ..ops.image import crop_resize_square_mxu, scale_to_tanh
 
 Array = jnp.ndarray
 
@@ -39,8 +39,9 @@ class ProposalGenerator:
 
         @functools.partial(jax.jit, static_argnames=())
         def _crops(image: Array, boxes: Array) -> Array:
-            # image in [0,1]; crops -> tanh scale for the embedder
-            crops = crop_resize_square(image, boxes)
+            # image in [0,1]; crops -> tanh scale for the embedder.
+            # MXU (einsum) resampler: gathers are ~60x slower on TPU.
+            crops = crop_resize_square_mxu(image, boxes)
             return scale_to_tanh(crops)
 
         self._infer = _infer
