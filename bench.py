@@ -39,11 +39,12 @@ def main():
         embed_chunk = 32
         iters, warmup = 3, 1
     else:
-        # bf16 conv stacks (MXU-native) + Pallas bitmask NMS
-        config = GLNConfig(compute_dtype="bfloat16", use_pallas_nms=True)
+        # bf16 conv stacks (MXU-native) + Pallas NMS + approx top-k
+        config = GLNConfig(compute_dtype="bfloat16", use_pallas_nms=True,
+                           use_approx_topk=True)
         batch = 4
         crops_per_image = 128
-        embed_chunk = 64  # VGG activations cap HBM; chunk the crops
+        embed_chunk = 128  # VGG activations cap HBM; chunk the crops
         iters, warmup = 10, 3
 
     rng = jax.random.PRNGKey(0)

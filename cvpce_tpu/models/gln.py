@@ -53,6 +53,9 @@ class GLNConfig:
     compute_dtype: str = "float32"
     # use the Pallas bitmask NMS kernel (TPU) instead of the XLA fori-loop
     use_pallas_nms: bool = False
+    # TPU-optimized approximate per-level top-k (lax.approx_max_k,
+    # recall ~0.95); exact top_k when False
+    use_approx_topk: bool = False
 
     def anchors(self) -> Tuple[np.ndarray, List[int]]:
         return anchor_ops.grid_anchors(self.canvas_h, self.canvas_w)
@@ -229,7 +232,11 @@ def postprocess_detections(
             l_anchors = jax.lax.dynamic_slice_in_dim(anchors, start, count, 0)
             scores = jax.nn.sigmoid(l_logits).reshape(-1)  # (count*K,)
             k = min(cfg.topk_candidates, count * num_classes)
-            top_scores, top_idx = jax.lax.top_k(scores, k)
+            if cfg.use_approx_topk and count * num_classes > 4 * k:
+                top_scores, top_idx = jax.lax.approx_max_k(
+                    scores, k, recall_target=0.95)
+            else:
+                top_scores, top_idx = jax.lax.top_k(scores, k)
             anchor_idx = top_idx // num_classes
             boxes = decode_boxes(l_regs[anchor_idx], l_anchors[anchor_idx],
                                  cfg.box_weights)
