@@ -179,7 +179,7 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
                output_path: str, gan_state: Optional[Dict] = None,
                epochs: int = 1, batch_size: int = 4,
                checkpoint_interval: int = 200, eval_interval: int = 1,
-               train_cfg=None, seed: int = 0,
+               train_cfg=None, seed: int = 0, use_mesh: bool = True,
                hyperopt_report=None) -> Dict:
     """DIHE training loop (cvpce/classification_training.py:334-541)."""
     from ..data.transforms import scale_to_tanh
@@ -215,7 +215,16 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
             disc_params=gan_state["disc_params"],
             disc_stats=gan_state["disc_stats"],
         )
-    step = jax.jit(make_dihe_train_step(cfg, opts))
+    step = make_dihe_train_step(cfg, opts)
+    if use_mesh and len(jax.devices()) > 1 and batch_size >= len(
+            jax.devices()):
+        # DP over the mesh replaces the reference's three DDP wrappers
+        # (classification_training.py:420-427)
+        mesh = data_parallel_mesh()
+        step = make_dp_train_step(step, mesh, donate_state=False)
+        state = put_replicated(state, mesh)
+    else:
+        step = jax.jit(step)
 
     manager = CheckpointManager(output_path, name="embedder_checkpoint")
     keeper = BestKeeper(manager, "accuracy")

@@ -109,3 +109,18 @@ def test_invalid_boxes_ignored():
     ))
     want = _oracle(32, 32, BOXES[[0, 1, 3]], method="simple", join="max")
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("join", ["max", "add"])
+def test_chunked_path_matches_sequential(join):
+    # enough boxes to trigger the chunked associative path
+    rng = np.random.default_rng(5)
+    n = 80
+    xy = rng.uniform(0, 20, (n, 2)).astype(np.float32)
+    wh = rng.uniform(3, 10, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], -1)
+    valid = rng.uniform(size=n) > 0.1
+    got = np.asarray(render_gaussians(
+        boxes, valid, height=32, width=32, method="simple", join=join))
+    want = _oracle(32, 32, boxes[valid], method="simple", join=join)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
