@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.knn import nearest_neighbors
-from ..data.loader import batch_iterator
 
 Array = jnp.ndarray
 
@@ -42,6 +41,11 @@ class Classifier:
             assert sample_set is not None
             self.embedding, self.annotations = self.build_index(
                 sample_set, verbose)
+        # keep the gallery resident on device; re-uploading it per
+        # classify() call costs more than the search itself
+        self._anchors_dev = jnp.asarray(self.embedding)
+        # fused Pallas kNN pays off once the gallery spans many tiles
+        self._use_fused = len(self.embedding) >= 4096 and k <= 8
 
     def build_index(self, sample_set, verbose: bool = False):
         embeddings: List[np.ndarray] = []
@@ -88,13 +92,20 @@ class Classifier:
         (cvpce/production.py:57-74)."""
         results: List[List] = []
         embs: List[np.ndarray] = []
-        anchor = jnp.asarray(self.embedding)
+        anchor = self._anchors_dev
         for start in range(0, len(images), self.batch_size):
             batch = images[start:start + self.batch_size]
             emb = self._embed(np.asarray(batch))
             embs.append(emb)
-            nearest = np.asarray(nearest_neighbors(
-                anchor, jnp.asarray(emb), k=self.k))
+            if self._use_fused:
+                from ..ops.knn_pallas import nearest_neighbors_fused
+
+                _, nearest = nearest_neighbors_fused(
+                    anchor, jnp.asarray(emb), k=self.k)
+                nearest = np.asarray(nearest)
+            else:
+                nearest = np.asarray(nearest_neighbors(
+                    anchor, jnp.asarray(emb), k=self.k))
             results += [[self.annotations[j] for j in row]
                         for row in nearest]
         if return_embedding:

@@ -155,3 +155,39 @@ class TestEndToEndPipeline:
         res = evaluate_planograms(evaluator, _Set(), verbose=False)
         assert res["mean_accuracy"] == pytest.approx(1.0)
         assert res["mse"] == pytest.approx(0.0)
+
+
+class TestSpatialSharding:
+    @pytest.mark.slow
+    def test_width_sharded_inference_matches_single(self):
+        """Spatially-sharded GLN forward must equal unsharded output."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device")
+        from cvpce_tpu.models.gln import GLN, postprocess_detections
+        from cvpce_tpu.parallel.spatial import (make_spatial_infer,
+                                                spatial_mesh)
+        import jax.numpy as jnp
+
+        cfg = GLNConfig(canvas_h=64, canvas_w=128, max_nms_candidates=128,
+                        detections_per_img=64)
+        model = GLN(config=cfg, train=False)
+        rng = np.random.default_rng(0)
+        images = rng.uniform(0, 1, (1, 64, 128, 3)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        sizes = np.array([[64, 128]], np.float32)
+
+        anchors, counts = cfg.anchors()
+        single = postprocess_detections(
+            model.apply(variables, jnp.asarray(images)),
+            jnp.asarray(anchors), counts, jnp.asarray(sizes), cfg)
+
+        mesh = spatial_mesh(jax.devices()[:2])
+        run = make_spatial_infer(variables, cfg, mesh)
+        sharded = run(images, sizes)
+
+        np.testing.assert_allclose(np.asarray(sharded["scores"]),
+                                   np.asarray(single["scores"]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sharded["boxes"]),
+                                   np.asarray(single["boxes"]),
+                                   atol=1e-2)
