@@ -19,6 +19,7 @@ from os import path
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import PrefetchLoader
@@ -75,6 +76,37 @@ def train_proposal_generator(
             iteration = meta.get("iteration", -1) + 1
             keeper.best = meta.get("best", keeper.best)
 
+    # checkpoint-time sample render (proposals_training.py:91-101)
+    sample = dataset[0] if len(dataset) else None
+    infer_fn = None
+
+    def save_sample_pictures(tag: str) -> None:
+        nonlocal infer_fn
+        if sample is None:
+            return
+        try:
+            from ..eval.proposals import make_inference_fn
+            from ..utils.viz import save_boxes, save_heatmap
+
+            variables = {"params": state.params, "frozen": state.frozen,
+                         "batch_stats": state.batch_stats}
+            if infer_fn is None:
+                infer_fn = make_inference_fn(variables, model_cfg)
+            else:
+                infer_fn = make_inference_fn(variables, model_cfg)
+            res = infer_fn(
+                jnp.asarray(sample["image"][None]),
+                jnp.asarray(sample["image_size"][None], jnp.float32))
+            keep = np.asarray(res["valid"][0]) \
+                & (np.asarray(res["scores"][0]) > 0.5)
+            save_boxes(sample["image"],
+                       np.asarray(res["boxes"][0])[keep],
+                       path.join(output_path, f"{tag}_gt_05.png"))
+            save_heatmap(np.asarray(res["gaussians"][0]),
+                         path.join(output_path, f"{tag}_gaussians.png"))
+        except Exception as e:  # noqa: BLE001 — viz must not kill training
+            print(f"sample render failed: {e}")
+
     losses_log = {"class_loss": [], "reg_loss": [], "gauss_loss": [],
                   "batch_times": []}
     end_epoch = start_epoch + epochs
@@ -103,6 +135,7 @@ def train_proposal_generator(
                       f"\treg:{losses_log['reg_loss'][-1]:.4f}"
                       f"\tgauss:{losses_log['gauss_loss'][-1]:.4f}")
             if iteration % checkpoint_interval == 0:
+                save_sample_pictures(f"{iteration:05d}")
                 manager.save_rotating(state, {
                     "epoch": e, "iteration": iteration, "best": keeper.best})
             iteration += 1
@@ -154,6 +187,24 @@ def pretrain_gan(dataset, discriminatorset, output_path: str,
     loader = PrefetchLoader(dataset, batch_size, collate, shuffle=True,
                             seed=seed)
     rng = np.random.default_rng(seed)
+
+    def save_gan_sample(tag: str, gen_batch) -> None:
+        """Source / generated / target triple at checkpoints
+        (classification_training.py:204-210)."""
+        try:
+            from ..models.gan import UNetGenerator
+            from ..utils.viz import save_multiple
+
+            gen = UNetGenerator(train=False)
+            fake = gen.apply(
+                {"params": state["gen_params"],
+                 "batch_stats": state["gen_stats"]}, gen_batch[:1])
+            src = (gen_batch[0, ..., :3] + 1) / 2
+            save_multiple([src, (np.asarray(fake[0]) + 1) / 2],
+                          path.join(output_path, f"{tag}.png"))
+        except Exception as e:  # noqa: BLE001
+            print(f"gan sample render failed: {e}")
+
     iteration = 0
     for e in range(epochs):
         loader.set_epoch(e)
@@ -167,6 +218,7 @@ def pretrain_gan(dataset, discriminatorset, output_path: str,
                 print(f"batch:{iteration}\t" + "\t".join(
                     f"{k}:{float(v):.4f}" for k, v in metrics.items()))
             if iteration % checkpoint_interval == 0:
+                save_gan_sample(f"{iteration:05d}", gen_batch)
                 manager.save_rotating(state, {"epoch": e,
                                               "iteration": iteration})
             iteration += 1
