@@ -50,14 +50,19 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
         if any(k.startswith("features.") for k in sd):
             imported = import_vgg16_features(sd, batch_norm=batch_norm)
         elif any(k.startswith("block1.") for k in sd):
-            # reference MACVGG checkpoint: block1.<i>... / block2.<i>...
-            # with torchvision feature indices preserved
+            # reference MACVGG checkpoint: block1/block2 are Sequential
+            # SLICES of vgg.features (classification.py:36-37), so their
+            # module indices restart at 0; block2 really starts at the
+            # original feature index cutoff_1 (33 with BN, 23 without)
+            offset = 33 if batch_norm else 23
             remapped = {}
             for k, v in sd.items():
                 if k.startswith("block1."):
                     remapped["features." + k[len("block1."):]] = v
                 elif k.startswith("block2."):
-                    remapped["features." + k[len("block2."):]] = v
+                    rest = k[len("block2."):]
+                    idx, tail = rest.split(".", 1)
+                    remapped[f"features.{int(idx) + offset}.{tail}"] = v
             imported = import_vgg16_features(remapped, batch_norm=batch_norm)
         else:
             raise ValueError("unrecognized embedder checkpoint layout")

@@ -114,7 +114,8 @@ def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
         canvas_h=model_cfg.canvas_h, canvas_w=model_cfg.canvas_w)
     train_proposal_generator(
         dataset, evalset, out, model_cfg=model_cfg, train_cfg=train_cfg,
-        batch_size=batch_size, epochs=epochs, resume=resume)
+        batch_size=batch_size, epochs=epochs, resume=resume,
+        load_torch=load)
 
 
 @gln.command("eval")

@@ -40,9 +40,15 @@ def train_proposal_generator(
     checkpoint_interval: int = 1000, eval_interval: int = 3,
     eval_threshold: float = 0.75,
     resume: bool = False, use_mesh: bool = True,
+    load_torch: Optional[str] = None,
     hyperopt_report=None, seed: int = 0,
 ) -> Dict:
-    """GLN training loop (cvpce/proposals_training.py:123-271)."""
+    """GLN training loop (cvpce/proposals_training.py:123-271).
+
+    `load_torch`: import a reference torch checkpoint as the starting
+    point (the reference's --load path, proposals_training.py:180-189;
+    optimizer state starts fresh — torch SGD momentum doesn't map).
+    """
     from ..eval.proposals import evaluate_gln
 
     os.makedirs(output_path, exist_ok=True)
@@ -53,9 +59,15 @@ def train_proposal_generator(
     cfg = gln_train.GLNTrainConfig(**{
         **cfg.__dict__, "steps_per_epoch": steps_per_epoch})
 
+    variables = None
+    if load_torch is not None:
+        from ..cli.common import load_gln_variables
+
+        variables = load_gln_variables(load_torch, model_cfg)
+
     anchors, _ = model_cfg.anchors()
     state, optimizer = gln_train.init_train_state(
-        model_cfg, cfg, jax.random.PRNGKey(seed))
+        model_cfg, cfg, jax.random.PRNGKey(seed), variables=variables)
     step_fn = gln_train.make_train_step(model_cfg, cfg, anchors, optimizer)
     if use_mesh and len(jax.devices()) > 1:
         mesh = data_parallel_mesh()

@@ -33,8 +33,12 @@ def load_state_dict(path: str) -> Dict[str, Any]:
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "state_dict" in obj:
-        obj = obj["state_dict"]
+    # reference checkpoints nest under 'model_state_dict'
+    # (proposals_training.py:17, classification_training.py:17)
+    for key in ("state_dict", "model_state_dict"):
+        if isinstance(obj, dict) and key in obj:
+            obj = obj[key]
+            break
     if isinstance(obj, dict) and "model" in obj and hasattr(
         next(iter(obj["model"].values()), None), "shape"
     ):

@@ -132,3 +132,37 @@ class TestOrbaxRoundtrip:
         names = set(os.listdir(tmp_path))
         assert "epoch_0" in names and "epoch_2" in names
         assert "epoch_1" not in names
+
+
+class TestEmbedderCheckpointImport:
+    def test_reference_macvgg_layout(self, tmp_path):
+        """block1./block2. Sequential-slice checkpoints must remap onto
+        torchvision feature indices (block2 offset +33 with BN)."""
+        from tests.test_model_parity import make_vgg16bn_state_dict
+        from cvpce_tpu.cli.common import load_embedder
+
+        rng = np.random.default_rng(0)
+        full = make_vgg16bn_state_dict(rng)
+        # build the sliced layout the reference saves
+        # (classification.py:36-37): block1 = features[:33],
+        # block2 = features[33:43], indices renumbered from 0
+        sliced = {}
+        for k, v in full.items():
+            idx = int(k.split(".")[1])
+            tail = k.split(".", 2)[2]
+            if idx < 33:
+                sliced[f"block1.{idx}.{tail}"] = v
+            elif idx < 43:
+                sliced[f"block2.{idx - 33}.{tail}"] = v
+        ckpt = tmp_path / "embedder.tar"
+        torch.save({"model_state_dict": sliced}, str(ckpt))
+
+        encode_sliced, _ = load_embedder(str(ckpt))
+
+        full_ckpt = tmp_path / "vgg.pth"
+        torch.save(full, str(full_ckpt))
+        encode_full, _ = load_embedder(str(full_ckpt))
+
+        x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(encode_sliced(x)),
+                                   np.asarray(encode_full(x)), atol=1e-5)
