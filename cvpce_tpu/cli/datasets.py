@@ -212,7 +212,6 @@ def gp_visualize_train(source, index, out):
     """Training gallery item: embedder input vs generator crop
     (cvpce/cli/datasets/gp.py visualize-train)."""
     from ..data.grocery import GroceryProductsDataset
-    from ..data.transforms import scale_to_tanh
     from ..utils.viz import save_multiple
 
     ds = GroceryProductsDataset(list(source))

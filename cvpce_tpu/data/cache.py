@@ -13,7 +13,7 @@ import os
 import struct
 import subprocess
 from os import path
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 from os import path
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import networkx as nx
 import numpy as np

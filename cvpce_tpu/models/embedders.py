@@ -14,7 +14,7 @@ torch checkpoints map 1:1 (see utils/torch_import.py).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,7 +9,7 @@ upsampling sizes align exactly.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, List
 
 import jax.numpy as jnp
 from flax import linen as nn

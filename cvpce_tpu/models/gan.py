@@ -10,8 +10,6 @@ output; 3-layer 70x70 PatchGAN.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

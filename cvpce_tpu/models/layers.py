@@ -5,7 +5,7 @@ cvpce_tpu.utils.torch_import to convert torch OIHW checkpoints).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -8,7 +8,7 @@ meshgrid gather + argsort (models/classification.py:90-95).
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import ctypes
 import os
 import subprocess
 from os import path
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, Optional, Sequence, Set, Tuple
 
 import networkx as nx
 import numpy as np

@@ -12,7 +12,7 @@ RANSAC kernel (ops/ransac.py) instead of cv2.findHomography
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Sequence, Set, Tuple
 
 import jax
 import networkx as nx

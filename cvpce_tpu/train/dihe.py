@@ -22,7 +22,7 @@ shard on 'data', params replicate, XLA inserts the grad all-reduces.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

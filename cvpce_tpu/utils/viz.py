@@ -5,7 +5,7 @@ All savers use the Agg backend; nothing here touches the device except
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
