@@ -12,6 +12,17 @@ from ..models.embedders import MACVGG
 from ..models.gln import GLN, GLNConfig
 
 
+def default_gln_config(fast: bool = False) -> GLNConfig:
+    """Inference config: exact postprocess by default; `fast` enables the
+    TPU speed path (bf16 conv stacks, Pallas NMS, approximate per-level
+    top-k) at fp-tolerance cost."""
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if fast:
+        return GLNConfig(compute_dtype="bfloat16" if on_tpu else "float32",
+                         use_pallas_nms=on_tpu, use_approx_topk=on_tpu)
+    return GLNConfig(use_pallas_nms=on_tpu)
+
+
 def load_gln_variables(weights: Optional[str], config: GLNConfig) -> Dict:
     """Build GLN variables: random init, or imported from a torch
     checkpoint produced by the reference (cvpce/proposals_eval.py:9-17

@@ -366,3 +366,44 @@ def gp_fix(source, out, dry_run):
                 shutil.copy(f.path, os.path.join(out_path, new))
                 copied += 1
     click.echo(f"{'(dry run) ' if dry_run else ''}done, {copied} files")
+
+
+@gp.command("visualize-baseline")
+@click.option("--imgs", default=defaults.GP_TEST_DIR, show_default=True)
+@click.option("--annotations", default=defaults.GP_BASELINE_ANN_FILE,
+              show_default=True)
+@click.option("--index", default=0, show_default=True)
+@click.option("--out", required=True)
+def gp_visualize_baseline(imgs, annotations, index, out):
+    """Tonioni baseline annotations overlay
+    (cvpce/cli/datasets/gp.py visualize-baseline)."""
+    from ..data.grocery import GPBaselineDataset
+
+    ds = GPBaselineDataset(imgs, annotations)
+    img, boxes = ds[index]
+    _save_boxes_viz(img, boxes, out)
+
+
+@gp.command("planogram-test")
+@click.option("--planograms", default=defaults.GP_PLANO_DIR,
+              show_default=True)
+def gp_planogram_test(planograms):
+    """Parse every GP-180 planogram JSON and report box counts / failures
+    (cvpce/cli/datasets/gp.py planogram-test)."""
+    import os
+
+    from ..data.planograms import read_tonioni_planogram
+
+    ok, failed = 0, 0
+    for entry in sorted(os.scandir(planograms), key=lambda e: e.name):
+        if not entry.name.endswith(".json"):
+            continue
+        try:
+            boxes, labels, g = read_tonioni_planogram(entry.path)
+            click.echo(f"{entry.name}: {len(boxes)} boxes, "
+                       f"{g.number_of_edges()} edges")
+            ok += 1
+        except Exception as e:  # noqa: BLE001
+            click.echo(f"{entry.name}: FAILED ({e})")
+            failed += 1
+    click.echo(f"{ok} parsed, {failed} failed")

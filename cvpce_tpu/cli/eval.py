@@ -8,7 +8,8 @@ import numpy as np
 
 from ..data import defaults
 from ..models.gln import GLNConfig
-from .common import load_embedder, load_gln_variables
+from .common import (default_gln_config, load_embedder,
+                     load_gln_variables)
 
 
 def _pipeline_options(f):
@@ -23,16 +24,18 @@ def _pipeline_options(f):
     f = click.option("--index", default=None,
                      help="prebuilt classifier index")(f)
     f = click.option("--confidence", default=0.5, show_default=True)(f)
+    f = click.option("--fast", is_flag=True,
+                     help="bf16 + approx top-k TPU speed path")(f)
     return f
 
 
 def _build_pipeline(gln_weights, encoder_weights, source, index,
-                    confidence, k=1):
+                    confidence, k=1, fast=False):
     from ..data.grocery import GroceryProductsDataset
     from ..pipeline.classifier import Classifier
     from ..pipeline.proposals import ProposalGenerator
 
-    config = GLNConfig()
+    config = default_gln_config(fast)
     variables = load_gln_variables(gln_weights, config)
     generator = ProposalGenerator(variables, config,
                                   confidence_threshold=confidence)
@@ -51,14 +54,15 @@ def _build_pipeline(gln_weights, encoder_weights, source, index,
 @click.option("--coco", is_flag=True)
 @click.option("--out", default=None)
 def eval_product_detection(gln_weights, encoder_weights, source, test_imgs,
-                           test_annotations, index, confidence, coco, out):
+                           test_annotations, index, confidence, fast, coco,
+                           out):
     """GLN+DIHE product detection mAP/mAR300 on GP-180
     (cvpce/cli/eval.py:12-71)."""
     from ..data.grocery import GroceryProductsTestSet
     from ..eval.detection import evaluate_detections, mean_average_metrics
 
     generator, classifier = _build_pipeline(
-        gln_weights, encoder_weights, source, index, confidence)
+        gln_weights, encoder_weights, source, index, confidence, fast=fast)
     testset = GroceryProductsTestSet(test_imgs, test_annotations)
     thresholds = tuple(np.arange(0.5, 1.0, 0.05).round(2)) if coco else (0.5,)
     per_class, overall = evaluate_detections(generator, classifier, testset,
@@ -83,7 +87,7 @@ def eval_product_detection(gln_weights, encoder_weights, source, test_imgs,
               help="internal planoset dir instead of GP-180")
 @click.option("--out", default=None)
 def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
-                    test_annotations, index, confidence, plano_dir,
+                    test_annotations, index, confidence, fast, plano_dir,
                     internal, out):
     """End-to-end compliance eval: mean accuracy + MSE vs ground truth
     (cvpce/cli/eval.py:160-240)."""
@@ -92,7 +96,7 @@ def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
     from ..pipeline.evaluator import PlanogramComparator, PlanogramEvaluator
 
     generator, classifier = _build_pipeline(
-        gln_weights, encoder_weights, source, index, confidence)
+        gln_weights, encoder_weights, source, index, confidence, fast=fast)
     if internal:
         planoset = InternalPlanoSet(internal)
     else:
@@ -112,7 +116,7 @@ def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
 @click.argument("image", type=click.Path(exists=True))
 @click.option("--out", required=True)
 def rebuild_scene(gln_weights, encoder_weights, source, test_imgs,
-                  test_annotations, index, confidence, image, out):
+                  test_annotations, index, confidence, fast, image, out):
     """Paste gallery images at detection positions
     (cvpce/cli/eval.py:73-158)."""
     import matplotlib
@@ -123,7 +127,7 @@ def rebuild_scene(gln_weights, encoder_weights, source, test_imgs,
     from ..data.grocery import GroceryProductsDataset
 
     generator, classifier = _build_pipeline(
-        gln_weights, encoder_weights, source, index, confidence)
+        gln_weights, encoder_weights, source, index, confidence, fast=fast)
     gallery = GroceryProductsDataset(list(source), random_crop=False,
                                      include_annotations=True)
     img = T.load_image(image)
@@ -162,8 +166,8 @@ def rebuild_scene(gln_weights, encoder_weights, source, test_imgs,
 @click.option("--image", "image_id", required=True)
 @click.option("--out", required=True)
 def plot_planogram_eval(gln_weights, encoder_weights, source, test_imgs,
-                        test_annotations, index, confidence, plano_dir,
-                        store, image_id, out):
+                        test_annotations, index, confidence, fast,
+                        plano_dir, store, image_id, out):
     """Step-by-step compliance visualization (cvpce/cli/eval.py:242-371):
     detections, planogram layout, matched/missing products."""
     import matplotlib
@@ -174,7 +178,7 @@ def plot_planogram_eval(gln_weights, encoder_weights, source, test_imgs,
     from ..pipeline import planograms as pg
 
     generator, classifier = _build_pipeline(
-        gln_weights, encoder_weights, source, index, confidence)
+        gln_weights, encoder_weights, source, index, confidence, fast=fast)
     planoset = PlanogramTestSet(test_imgs, test_annotations, plano_dir)
     idx = planoset.get_index_for(store, image_id)
     if idx is None:

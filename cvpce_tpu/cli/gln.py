@@ -8,7 +8,7 @@ import numpy as np
 
 from ..data import defaults
 from ..models.gln import GLNConfig
-from .common import load_gln_variables
+from .common import default_gln_config, load_gln_variables
 
 # hyperopt'd presets (cvpce/cli/gln.py:124-126)
 HYPEROPT_LR_MULTIPLIER = 0.995
@@ -126,13 +126,15 @@ def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
     show_default=True)
 @click.option("--coco", is_flag=True, help="IoU sweep 0.5:0.95")
 @click.option("--batch-size", default=4, show_default=True)
+@click.option("--fast", is_flag=True,
+              help="bf16 + approx top-k TPU speed path")
 @click.option("--out", default=None, help="write metrics JSON here")
 def eval_cmd(imgs, annotations, weights, dataset_type, coco, batch_size,
-             out):
+             fast, out):
     """Proposal AP/AR evaluation (cvpce/cli/gln.py:230-280)."""
     from ..eval.proposals import evaluate_gln
 
-    config = GLNConfig()
+    config = default_gln_config(fast)
     variables = load_gln_variables(weights, config)
     dataset = _load_eval_dataset(dataset_type, imgs, annotations, config)
     thresholds = tuple(np.arange(0.5, 1.0, 0.05).round(2)) if coco else (0.5,)
@@ -178,13 +180,14 @@ def _load_eval_dataset(dataset_type, imgs, annotations, config):
 @click.argument("image", type=click.Path(exists=True))
 @click.option("--weights", required=True)
 @click.option("--threshold", default=0.5, show_default=True)
+@click.option("--fast", is_flag=True)
 @click.option("--out", default=None, help="save visualization here")
-def detect(image, weights, threshold, out):
+def detect(image, weights, threshold, fast, out):
     """Single-image detection (cvpce/cli/gln.py:282-307)."""
     from ..data import transforms as T
     from ..pipeline.proposals import ProposalGenerator
 
-    config = GLNConfig()
+    config = default_gln_config(fast)
     variables = load_gln_variables(weights, config)
     gen = ProposalGenerator(variables, config,
                             confidence_threshold=threshold)

@@ -45,7 +45,10 @@ class GLNConfig:
     nms_thresh: float = 0.5
     topk_candidates: int = 1000      # per level, pre-NMS
     detections_per_img: int = 1000   # cvpce/models/proposals.py:164-165
-    max_nms_candidates: int = 2000   # device NMS budget across levels
+    # device NMS budget across levels; the default covers every
+    # above-threshold candidate the reference's torchvision postprocess
+    # would see (5 levels x topk 1000) — affordable with the Pallas kernel
+    max_nms_candidates: int = 5120
     # anchor box-coder weights (torchvision RetinaNet uses all-ones)
     box_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     # compute dtype for the conv stacks ('float32' | 'bfloat16'); params
