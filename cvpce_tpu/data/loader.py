@@ -60,6 +60,16 @@ class PrefetchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Put without deadlocking if the consumer went away."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for b in range(nb):
@@ -67,8 +77,9 @@ class PrefetchLoader:
                         break
                     idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                     items = list(pool.map(self.dataset.__getitem__, idxs))
-                    out_q.put(self.collate(items))
-            out_q.put(None)
+                    if not _put(self.collate(items)):
+                        return
+            _put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

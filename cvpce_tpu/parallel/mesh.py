@@ -46,9 +46,6 @@ def make_dp_train_step(train_step: Callable, mesh: Mesh,
     repl = replicate(mesh)
     data = shard_batch(mesh)
 
-    def spec_like(replicated, tree):
-        return jax.tree.map(lambda _: replicated, tree)
-
     jitted = jax.jit(
         train_step,
         donate_argnums=(0,) if donate_state else (),

@@ -66,12 +66,21 @@ class ProposalGenerator:
         return res["boxes"][keep]
 
     def _crop_boxes(self, image: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        """Crop in chunks of <= max_proposals to bound device memory (a
+        1000-detection image would otherwise materialize ~1 GB of crops
+        at once)."""
         n = len(boxes)
-        pad_n = max(int(2 ** np.ceil(np.log2(max(n, 1)))), n)
-        padded = np.zeros((pad_n, 4), np.float32)
-        padded[:n] = boxes
-        return np.asarray(self._crops(jnp.asarray(image),
-                                      jnp.asarray(padded)))[:n]
+        out = np.empty((n, 256, 256, 3), np.float32)
+        step = self.max_proposals
+        for start in range(0, n, step):
+            chunk = boxes[start:start + step]
+            c = len(chunk)
+            pad_n = max(int(2 ** np.ceil(np.log2(max(c, 1)))), c)
+            padded = np.zeros((pad_n, 4), np.float32)
+            padded[:c] = chunk
+            out[start:start + c] = np.asarray(
+                self._crops(jnp.asarray(image), jnp.asarray(padded)))[:c]
+        return out
 
     def detect_with_crops(self, image: np.ndarray) -> Dict[str, np.ndarray]:
         """Detection results above the confidence threshold, plus their
