@@ -191,3 +191,42 @@ class TestSpatialSharding:
         np.testing.assert_allclose(np.asarray(sharded["boxes"]),
                                    np.asarray(single["boxes"]),
                                    atol=1e-2)
+
+
+class TestRealPipelineIntegration:
+    @pytest.mark.slow
+    def test_proposal_generator_end_to_end(self):
+        """Real ProposalGenerator (tiny random GLN) -> crops -> stub
+        classifier -> compliance comparator; exercises the actual device
+        pipeline wiring (detect, fused crops, graph compare)."""
+        import jax.numpy as jnp
+
+        from cvpce_tpu.models.gln import GLN
+        from cvpce_tpu.pipeline.evaluator import (PlanogramComparator,
+                                                  PlanogramEvaluator)
+        from cvpce_tpu.pipeline.proposals import ProposalGenerator
+
+        cfg = GLNConfig(canvas_h=64, canvas_w=64, max_nms_candidates=128,
+                        detections_per_img=64)
+        model = GLN(config=cfg, train=False)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)))
+        gen = ProposalGenerator(variables, cfg, confidence_threshold=0.0,
+                                max_proposals=16)
+
+        rng = np.random.default_rng(0)
+        image = rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
+        res = gen.detect(image)
+        assert res["boxes"].shape[1] == 4
+        boxes, crops = gen.generate_proposals_and_images(image)
+        assert len(boxes) == len(crops)
+        if len(crops):
+            assert crops.shape[1:] == (256, 256, 3)
+            assert np.abs(crops).max() <= 1.0 + 1e-5  # tanh scale
+
+        evaluator = PlanogramEvaluator(
+            gen, _StubClassifier(["p0"]), PlanogramComparator())
+        plano = {"boxes": np.array([[10, 10, 30, 30]], np.float32),
+                 "labels": ["p0"]}
+        score = evaluator.evaluate(image, plano)
+        assert 0.0 <= score <= 1.0
