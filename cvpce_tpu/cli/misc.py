@@ -21,11 +21,14 @@ def misc():
 @click.option("--planogram", "plano_path", required=True,
               type=click.Path(exists=True),
               help="JSON planogram: [{label, box: [x1,y1,x2,y2]}, ...]")
-@click.option("--gln-weights", required=True)
+@click.option("--gln-weights", default=None,
+              help="GLN checkpoint; random init if omitted (demo mode)")
 @click.option("--encoder-weights", default=None)
 @click.option("--confidence", default=0.5, show_default=True)
+@click.option("--canvas", nargs=2, type=int, default=(832, 1344),
+              show_default=True, help="detector canvas (h w)")
 def pipeline_demo(image, gallery, plano_path, gln_weights, encoder_weights,
-                  confidence):
+                  confidence, canvas):
     """End-to-end demo on an arbitrary folder dataset + JSON planogram
     (cvpce/cli/misc.py:104-253)."""
     import numpy as np
@@ -36,7 +39,10 @@ def pipeline_demo(image, gallery, plano_path, gln_weights, encoder_weights,
     from ..pipeline.evaluator import PlanogramComparator, PlanogramEvaluator
     from ..pipeline.proposals import ProposalGenerator
 
-    config = GLNConfig()
+    h, w = canvas
+    config = GLNConfig(canvas_h=h, canvas_w=w,
+                       max_nms_candidates=min(5120, (h // 8) * (w // 8)),
+                       detections_per_img=min(1000, (h // 8) * (w // 8)))
     variables = load_gln_variables(gln_weights, config)
     generator = ProposalGenerator(variables, config,
                                   confidence_threshold=confidence)
