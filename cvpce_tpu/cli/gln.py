@@ -124,20 +124,27 @@ def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
 @click.option("--dataset-type", type=click.Choice(
     ["sku110k", "gp180", "gpbaseline"]), default="sku110k",
     show_default=True)
+@click.option("--iou-threshold", "iou_thresholds", multiple=True,
+              type=float, help="IoU threshold(s); default 0.5")
 @click.option("--coco", is_flag=True, help="IoU sweep 0.5:0.95")
 @click.option("--batch-size", default=4, show_default=True)
 @click.option("--fast", is_flag=True,
               help="bf16 + approx top-k TPU speed path")
 @click.option("--out", default=None, help="write metrics JSON here")
-def eval_cmd(imgs, annotations, weights, dataset_type, coco, batch_size,
-             fast, out):
+def eval_cmd(imgs, annotations, weights, dataset_type, iou_thresholds,
+             coco, batch_size, fast, out):
     """Proposal AP/AR evaluation (cvpce/cli/gln.py:230-280)."""
     from ..eval.proposals import evaluate_gln
 
     config = default_gln_config(fast)
     variables = load_gln_variables(weights, config)
     dataset = _load_eval_dataset(dataset_type, imgs, annotations, config)
-    thresholds = tuple(np.arange(0.5, 1.0, 0.05).round(2)) if coco else (0.5,)
+    if coco:
+        thresholds = tuple(np.arange(0.5, 1.0, 0.05).round(2))
+    elif iou_thresholds:
+        thresholds = tuple(iou_thresholds)
+    else:
+        thresholds = (0.5,)
     res = evaluate_gln(variables, dataset, config, thresholds=thresholds,
                        batch_size=batch_size, verbose=True)
     summary = {str(t): {k: float(v) for k, v in d.items() if k != "raw"}
