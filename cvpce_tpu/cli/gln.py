@@ -131,8 +131,10 @@ def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
 @click.option("--fast", is_flag=True,
               help="bf16 + approx top-k TPU speed path")
 @click.option("--out", default=None, help="write metrics JSON here")
+@click.option("--plots", default=None,
+              help="save P/R/F1 curve plots here (.png)")
 def eval_cmd(imgs, annotations, weights, dataset_type, iou_thresholds,
-             coco, batch_size, fast, out):
+             coco, batch_size, fast, out, plots):
     """Proposal AP/AR evaluation (cvpce/cli/gln.py:230-280)."""
     from ..eval.proposals import evaluate_gln
 
@@ -146,7 +148,7 @@ def eval_cmd(imgs, annotations, weights, dataset_type, iou_thresholds,
     else:
         thresholds = (0.5,)
     res = evaluate_gln(variables, dataset, config, thresholds=thresholds,
-                       batch_size=batch_size, verbose=True)
+                       batch_size=batch_size, verbose=True, plot_out=plots)
     summary = {str(t): {k: float(v) for k, v in d.items() if k != "raw"}
                for t, d in res.items()}
     click.echo(json.dumps(summary, indent=2))

@@ -66,7 +66,8 @@ class DetectionEvalAdapter:
 def evaluate_gln(variables: Dict, dataset, config: GLNConfig,
                  thresholds: Sequence[float] = (0.5,),
                  batch_size: int = 4, score_min: float = 0.0,
-                 verbose: bool = False) -> Dict:
+                 verbose: bool = False,
+                 plot_out: str | None = None) -> Dict:
     """Run detection over `dataset` (items with image/boxes/image_size/scale
     fields, e.g. data.SKU110KDataset with flip_chance=0) and compute the
     reference metric suite (AP, AR@300, max-F1 P/R/C) per IoU threshold.
@@ -99,5 +100,16 @@ def evaluate_gln(variables: Dict, dataset, config: GLNConfig,
         if verbose and (start // batch_size) % 20 == 0:
             print(f"eval {start}/{n}")
 
-    return M.calculate_metrics(targets, predictions, confidences,
-                               iou_thresholds=thresholds)
+    res = M.calculate_metrics(targets, predictions, confidences,
+                              iou_thresholds=thresholds)
+    if plot_out:
+        # P/R/F1-vs-recall curves per threshold (the reference's `plots`
+        # flag, cvpce/proposals_eval.py + metrics.plot_prfc)
+        from ..utils.viz import plot_prfc
+
+        for t, d in res.items():
+            raw = d["raw"]
+            plot_prfc(raw["p"], raw["r"], raw["f"], raw["c"],
+                      plot_out.replace(".png", f"_iou{t}.png"),
+                      title=f"IoU {t}")
+    return res

@@ -1,3 +1,15 @@
-"""Core device-side ops: boxes, metrics, kNN, heatmaps, NMS, images, RANSAC."""
+"""Core device-side ops: boxes, metrics, kNN, heatmaps, NMS, images,
+RANSAC, anchors, matching, losses (+ Pallas kernels for NMS and kNN)."""
 
-from . import boxes, gaussians, knn, metrics  # noqa: F401
+from . import (  # noqa: F401
+    anchors,
+    boxes,
+    gaussians,
+    image,
+    knn,
+    losses,
+    matching,
+    metrics,
+    nms,
+    ransac,
+)

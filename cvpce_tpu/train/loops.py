@@ -102,10 +102,7 @@ def train_proposal_generator(
 
             variables = {"params": state.params, "frozen": state.frozen,
                          "batch_stats": state.batch_stats}
-            if infer_fn is None:
-                infer_fn = make_inference_fn(variables, model_cfg)
-            else:
-                infer_fn = make_inference_fn(variables, model_cfg)
+            infer_fn = make_inference_fn(variables, model_cfg)
             res = infer_fn(
                 jnp.asarray(sample["image"][None]),
                 jnp.asarray(sample["image_size"][None], jnp.float32))
