@@ -146,3 +146,14 @@ def test_streaming_metrics_matches_batch():
     want = metrics.calculate_metrics(TARGETS, PREDICTIONS, CONFIDENCES)
     for key in ("ap", "ar_300", "p", "r", "f", "c"):
         assert got[0.5][key] == pytest.approx(want[0.5][key], rel=1e-6), key
+
+
+def test_prfc_plot_smoke(tmp_path):
+    from cvpce_tpu.utils.viz import plot_prfc
+
+    res = metrics.calculate_metrics(TARGETS, PREDICTIONS, CONFIDENCES)
+    raw = res[0.5]["raw"]
+    out = str(tmp_path / "prfc.png")
+    plot_prfc(raw["p"], raw["r"], raw["f"], raw["c"], out, title="golden")
+    import os
+    assert os.path.getsize(out) > 0
