@@ -24,20 +24,52 @@ def default_gln_config(fast: bool = False) -> GLNConfig:
 
 
 def load_gln_variables(weights: Optional[str], config: GLNConfig) -> Dict:
-    """Build GLN variables: random init, or imported from a torch
-    checkpoint produced by the reference (cvpce/proposals_eval.py:9-17
-    analogue)."""
+    """Build GLN variables: random init, a reference torch checkpoint
+    (cvpce/proposals_eval.py:9-17 analogue), or an orbax checkpoint
+    directory saved by our training loop."""
+    import os
+
     model = GLN(config=config, train=False)
     variables = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, config.canvas_h, config.canvas_w, 3), jnp.float32))
     if weights is None:
         return variables
+    if os.path.isdir(weights):
+        return _load_gln_orbax(weights, config, variables)
     from ..utils.torch_import import import_gln, load_state_dict
 
     sd = load_state_dict(weights)
     imported = import_gln(sd)
     return _merge(variables, imported)
+
+
+def _load_gln_orbax(ckpt_dir: str, config: GLNConfig, variables: Dict
+                    ) -> Dict:
+    """Restore model variables from a train-loop orbax checkpoint
+    (a GLNTrainState saved by train/checkpoint.py).
+
+    The abstract template is built with the default GLNTrainConfig; runs
+    trained with a non-default `trainable_layers` change the optimizer
+    pytree and need the matching config (load via train/checkpoint
+    directly in that case).
+    """
+    from os import path
+
+    from ..train.checkpoint import CheckpointManager
+    from ..train.gln import GLNTrainConfig, init_train_state
+
+    parent, name = path.dirname(path.normpath(ckpt_dir)), \
+        path.basename(path.normpath(ckpt_dir))
+    state, _ = init_train_state(config, GLNTrainConfig(),
+                                jax.random.PRNGKey(0))
+    manager = CheckpointManager(parent, name=name)
+    restored = manager.restore(state)
+    return {
+        "params": restored.params,
+        "frozen": restored.frozen,
+        "batch_stats": restored.batch_stats,
+    }
 
 
 def load_embedder(weights: Optional[str], batch_norm: bool = True,

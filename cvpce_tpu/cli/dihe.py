@@ -115,24 +115,27 @@ def train(source, imgs, annotations, test_imgs, test_annotations, out,
 @click.option("--batch-size", default=32, show_default=True)
 @click.option("--encoder", type=click.Choice(["vgg16", "resnet50"]),
               default="vgg16", show_default=True)
+@click.option("--index", default=None,
+              help="prebuilt classifier index (skips gallery embedding)")
 @click.option("--validation", is_flag=True,
               help="first 2 annotations per image (defaults.py:24-26)")
 def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
-             weights, k, batch_size, encoder, validation):
+             weights, k, batch_size, encoder, index, validation):
     """Gallery-kNN classification accuracy (cvpce/cli/dihe.py:257-309)."""
     from ..data.grocery import (GroceryProductsDataset,
                                 GroceryProductsTestSet)
     from ..eval.classification import eval_dihe
 
     encoder_fn, emb_size = load_embedder(weights, encoder=encoder)
-    sampleset = GroceryProductsDataset(list(source), random_crop=False,
-                                       include_annotations=True)
+    sampleset = None if index else GroceryProductsDataset(
+        list(source), random_crop=False, include_annotations=True)
     testset = GroceryProductsTestSet(
         test_imgs, test_annotations,
         only=defaults.GP_TEST_VALIDATION_SET_SIZE if validation else None,
         skip=None if validation else defaults.GP_TEST_VALIDATION_SET_SIZE)
     accuracy = eval_dihe(encoder_fn, emb_size, sampleset, testset,
-                         batch_size=batch_size, k=tuple(k))
+                         batch_size=batch_size, k=tuple(k),
+                         load_index=index)
     click.echo(json.dumps({str(kk): v for kk, v in accuracy.items()}))
 
 

@@ -166,3 +166,25 @@ class TestEmbedderCheckpointImport:
         x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
         np.testing.assert_allclose(np.asarray(encode_sliced(x)),
                                    np.asarray(encode_full(x)), atol=1e-5)
+
+
+class TestOrbaxInferenceLoad:
+    @pytest.mark.slow
+    def test_load_gln_variables_from_orbax_dir(self, tmp_path):
+        """Train-loop checkpoints feed straight into inference CLIs."""
+        from cvpce_tpu.cli.common import load_gln_variables
+        from cvpce_tpu.train.checkpoint import CheckpointManager
+        from cvpce_tpu.train.gln import GLNTrainConfig, init_train_state
+
+        state, _ = init_train_state(CFG, GLNTrainConfig(),
+                                    jax.random.PRNGKey(7))
+        mgr = CheckpointManager(str(tmp_path), name="checkpoint")
+        mgr.save_rotating(state, {"epoch": 0, "iteration": 0})
+
+        variables = load_gln_variables(
+            str(tmp_path / "checkpoint"), CFG)
+        leaf_saved = np.asarray(state.params["head"]["cls_logits"]["bias"])
+        leaf_got = np.asarray(
+            variables["params"]["head"]["cls_logits"]["bias"])
+        np.testing.assert_array_equal(leaf_got, leaf_saved)
+        assert "frozen" in variables and "batch_stats" in variables
