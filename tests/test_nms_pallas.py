@@ -44,3 +44,21 @@ def test_all_invalid():
     valid = np.zeros(32, bool)
     got = np.asarray(nms_mask_pallas(boxes, scores, valid, interpret=True))
     assert not got.any()
+
+
+@pytest.mark.parametrize("method", ["gaussian", "linear"])
+def test_soft_nms_matches_xla(method):
+    from cvpce_tpu.ops.nms import soft_nms_scores
+    from cvpce_tpu.ops.nms_pallas import soft_nms_scores_pallas
+
+    rng = np.random.default_rng(7)
+    n = 120
+    boxes = random_boxes(rng, n, extent=150.0)
+    scores = rng.uniform(size=n).astype(np.float32)
+    valid = rng.uniform(size=n) > 0.1
+
+    want = np.asarray(soft_nms_scores(boxes, scores, valid, 0.5, 0.5,
+                                      method))
+    got = np.asarray(soft_nms_scores_pallas(boxes, scores, valid, 0.5, 0.5,
+                                            method, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
