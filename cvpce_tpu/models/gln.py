@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from ..ops import anchors as anchor_ops
 from ..ops.boxes import decode_boxes
+from ..ops.nms import merge_boxes as merge_boxes_op
 from ..ops.nms import nms_mask
 from .fpn import FPN
 from .layers import conv, upsample_nearest_2x
@@ -59,6 +60,12 @@ class GLNConfig:
     # TPU-optimized approximate per-level top-k (lax.approx_max_k,
     # recall ~0.95); exact top_k when False
     use_approx_topk: bool = False
+    # 'hard' (torchvision parity) or 'soft' (Soft-NMS re-scoring,
+    # BASELINE.json's alternative postprocess)
+    nms_mode: str = "hard"
+    soft_nms_sigma: float = 0.5
+    # EM-style score-weighted box merging of NMS survivors
+    merge_boxes: bool = False
 
     def anchors(self) -> Tuple[np.ndarray, List[int]]:
         return anchor_ops.grid_anchors(self.canvas_h, self.canvas_w)
@@ -267,14 +274,41 @@ def postprocess_detections(
         cand_valid = jnp.isfinite(cand_scores)
         cand_scores = jnp.where(cand_valid, cand_scores, 0.0)
 
-        if cfg.use_pallas_nms:
-            from ..ops.nms_pallas import nms_mask_pallas
+        if cfg.nms_mode == "soft":
+            # Soft-NMS re-scoring instead of hard suppression; survivors
+            # are candidates whose decayed score clears score_thresh
+            if cfg.use_pallas_nms:
+                from ..ops.nms_pallas import soft_nms_scores_pallas
 
-            keep = nms_mask_pallas(cand_boxes, cand_scores, cand_valid,
-                                   cfg.nms_thresh)
+                new_scores = soft_nms_scores_pallas(
+                    cand_boxes, cand_scores, cand_valid,
+                    cfg.soft_nms_sigma, cfg.nms_thresh)
+            else:
+                from ..ops.nms import soft_nms_scores
+
+                new_scores = soft_nms_scores(
+                    cand_boxes, cand_scores, cand_valid,
+                    cfg.soft_nms_sigma, cfg.nms_thresh)
+            keep = cand_valid & (new_scores > cfg.score_thresh)
+            cand_scores = new_scores
+            if cfg.merge_boxes:
+                cand_boxes = merge_boxes_op(cand_boxes, cand_scores,
+                                            cand_valid, keep,
+                                            cfg.nms_thresh)
         else:
-            keep = nms_mask(cand_boxes, cand_scores, cand_valid,
-                            cfg.nms_thresh)
+            if cfg.use_pallas_nms:
+                from ..ops.nms_pallas import nms_mask_pallas
+
+                keep = nms_mask_pallas(cand_boxes, cand_scores, cand_valid,
+                                       cfg.nms_thresh)
+            else:
+                keep = nms_mask(cand_boxes, cand_scores, cand_valid,
+                                cfg.nms_thresh)
+            if cfg.merge_boxes:
+                # EM-style score-weighted refinement of the survivors
+                cand_boxes = merge_boxes_op(cand_boxes, cand_scores,
+                                            cand_valid, keep,
+                                            cfg.nms_thresh)
         kept_scores = jnp.where(keep, cand_scores, -jnp.inf)
         d = min(cfg.detections_per_img, c)
         out_scores, out_idx = jax.lax.top_k(kept_scores, d)

@@ -133,3 +133,44 @@ class TestTrainStepSmoke:
         b0 = np.asarray(state.params["body"]["conv1"]["kernel"])
         a0 = np.asarray(new_state.params["body"]["conv1"]["kernel"])
         np.testing.assert_array_equal(b0, a0)
+
+
+class TestPostprocessVariants:
+    def _planted_outputs(self):
+        anchors, counts = CFG.anchors()
+        total = len(anchors)
+        logits = np.full((1, total, 1), -8.0, np.float32)
+        base = 9 * (3 * 8 + 3)
+        logits[0, base + 3, 0] = 4.0   # two overlapping anchors
+        logits[0, base + 4, 0] = 3.5
+        return {
+            "cls_logits": jnp.asarray(logits),
+            "bbox_regression": jnp.zeros((1, total, 4), jnp.float32),
+            "gaussians": jnp.zeros((1, 32, 32, 1)),
+        }, anchors, counts
+
+    def test_soft_nms_mode_keeps_decayed_duplicate(self):
+        import dataclasses
+
+        out, anchors, counts = self._planted_outputs()
+        cfg = dataclasses.replace(CFG, nms_mode="soft")
+        res = postprocess_detections(
+            out, jnp.asarray(anchors), counts,
+            jnp.asarray([[64, 64]], jnp.float32), cfg)
+        valid = np.asarray(res["valid"][0])
+        scores = np.asarray(res["scores"][0])
+        # soft NMS decays but does not remove the duplicate (its decayed
+        # score stays above the 0.05 threshold here)
+        assert valid.sum() == 2
+        assert scores[1] < 1 / (1 + np.exp(-3.5))  # decayed below raw
+
+    def test_merge_boxes_mode_runs(self):
+        import dataclasses
+
+        out, anchors, counts = self._planted_outputs()
+        cfg = dataclasses.replace(CFG, merge_boxes=True)
+        res = postprocess_detections(
+            out, jnp.asarray(anchors), counts,
+            jnp.asarray([[64, 64]], jnp.float32), cfg)
+        assert np.asarray(res["valid"][0]).sum() == 1
+        assert np.isfinite(np.asarray(res["boxes"][0])).all()
