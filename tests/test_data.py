@@ -192,3 +192,30 @@ class TestTransforms:
         mask = T.build_white_background_mask(img)
         assert mask[0, 0] and mask[31, 31]
         assert not mask[16, 16]
+
+
+class TestDetectionEvalAdapter:
+    def test_wraps_any_image_boxes_dataset(self):
+        from cvpce_tpu.eval.proposals import DetectionEvalAdapter
+
+        rng = np.random.default_rng(0)
+
+        class _Base:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                img = rng.uniform(0, 1, (100, 80, 3)).astype(np.float32)
+                boxes = np.array([[10, 10, 40, 50]], np.float32)
+                return img, ["ann"], boxes
+
+        ds = DetectionEvalAdapter(_Base(), lambda it: (it[0], it[2]),
+                                  canvas_h=128, canvas_w=128)
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["image"].shape == (128, 128, 3)
+        assert item["orig_boxes"].shape == (1, 4)
+        # boxes scaled by the canvas transform scale
+        np.testing.assert_allclose(
+            item["boxes"][0] / item["scale"], item["orig_boxes"][0],
+            rtol=1e-3, atol=0.51)
