@@ -157,3 +157,18 @@ def test_prfc_plot_smoke(tmp_path):
     plot_prfc(raw["p"], raw["r"], raw["f"], raw["c"], out, title="golden")
     import os
     assert os.path.getsize(out) > 0
+
+
+def test_one_prediction_consumes_all_overlapping_targets():
+    """Pins the reference's greedy-matcher quirk (metrics.py:21-31): the
+    loop does not break after the first unused target, so a prediction
+    overlapping TWO unused targets above threshold marks BOTH used; a
+    later prediction matching either of them becomes a false positive."""
+    targets = np.array([[0, 0, 10, 10], [8, 0, 18, 10]], np.float32)
+    preds = np.array([
+        [0, 0, 17, 10],    # IoU 10/17 ~ 0.59 with t0, ~0.53 with t1
+        [0, 0, 10, 10],    # exact match of t0 — but t0 is already used
+    ], np.float32)
+    conf = np.array([0.9, 0.8], np.float32)
+    tp, _ = metrics.match_detections(targets, preds, conf, [0.5])
+    np.testing.assert_allclose(tp[0], [1, 0])
