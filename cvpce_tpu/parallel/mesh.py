@@ -42,19 +42,27 @@ def make_dp_train_step(train_step: Callable, mesh: Mesh,
 
     State/params replicated, every batch array sharded on its leading axis.
     XLA turns the mean-over-batch gradients into an ICI all-reduce.
+
+    Shardings are declared via `in_shardings`, so host batches are
+    transferred straight to their shards and an already-replicated state
+    passes through with NO per-step host round-trip; with `donate_state`
+    the previous state's buffers are reused in place (the output state is
+    replicated like the input, so donation is shape/sharding compatible).
+    Place the state once with `put_replicated` before the first step.
     """
     repl = replicate(mesh)
     data = shard_batch(mesh)
-
-    jitted = jax.jit(
-        train_step,
-        donate_argnums=(0,) if donate_state else (),
-    )
+    jitted_by_arity: dict = {}
 
     def step(state, *batch):
-        state = jax.device_put(state, repl)
-        batch = tuple(jax.device_put(b, data) for b in batch)
-        return jitted(state, *batch)
+        n = len(batch)
+        if n not in jitted_by_arity:
+            jitted_by_arity[n] = jax.jit(
+                train_step,
+                in_shardings=(repl,) + (data,) * n,
+                donate_argnums=(0,) if donate_state else (),
+            )
+        return jitted_by_arity[n](state, *batch)
 
     return step
 

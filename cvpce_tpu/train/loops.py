@@ -71,7 +71,7 @@ def train_proposal_generator(
     step_fn = gln_train.make_train_step(model_cfg, cfg, anchors, optimizer)
     if use_mesh and len(jax.devices()) > 1:
         mesh = data_parallel_mesh()
-        step_fn = make_dp_train_step(step_fn, mesh, donate_state=False)
+        step_fn = make_dp_train_step(step_fn, mesh, donate_state=True)
         state = put_replicated(state, mesh)
     else:
         step_fn = jax.jit(step_fn)
@@ -282,7 +282,7 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
         # DP over the mesh replaces the reference's three DDP wrappers
         # (classification_training.py:420-427)
         mesh = data_parallel_mesh()
-        step = make_dp_train_step(step, mesh, donate_state=False)
+        step = make_dp_train_step(step, mesh, donate_state=True)
         state = put_replicated(state, mesh)
     else:
         step = jax.jit(step)

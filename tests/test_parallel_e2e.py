@@ -58,6 +58,45 @@ class TestDataParallel:
         np.testing.assert_allclose(leaf_a, leaf_b, atol=1e-5)
 
 
+class TestDPStateResidency:
+    @pytest.mark.slow
+    def test_params_keep_sharding_across_steps(self):
+        """The DP wrapper must not round-trip the state through the host:
+        the output state of step k is directly consumable by step k+1 and
+        stays replicated on the mesh throughout (VERDICT r1 #5)."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        model_cfg = GLNConfig(canvas_h=64, canvas_w=64,
+                              max_nms_candidates=128, detections_per_img=64)
+        train_cfg = GLNTrainConfig(match_chunk=1024, min_negatives=64,
+                                   steps_per_epoch=10)
+        anchors, _ = model_cfg.anchors()
+        rng = np.random.default_rng(0)
+        b = 2
+        images = rng.uniform(0, 1, (b, 64, 64, 3)).astype(np.float32)
+        boxes = np.zeros((b, 8, 4), np.float32)
+        boxes[:, :, 2:] = 16.0
+        valid = np.ones((b, 8), bool)
+        sizes = np.full((b, 2), 64, np.int32)
+
+        state, optimizer = init_train_state(model_cfg, train_cfg,
+                                            jax.random.PRNGKey(0))
+        step = make_train_step(model_cfg, train_cfg, anchors, optimizer)
+        mesh = data_parallel_mesh(jax.devices()[:2])
+        dp_step = make_dp_train_step(step, mesh, donate_state=True)
+        state = put_replicated(state, mesh)
+        replicated = NamedSharding(mesh, P())
+
+        prev = state
+        for _ in range(2):
+            prev, metrics = dp_step(prev, images, boxes, valid, sizes)
+            for leaf in jax.tree.leaves(prev.params):
+                assert leaf.sharding.is_equivalent_to(replicated, leaf.ndim)
+        assert np.isfinite(float(metrics["total"]))
+
+
 class _StubGenerator:
     """Emits fixed detections (grid boxes + noise)."""
 
