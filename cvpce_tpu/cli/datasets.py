@@ -186,9 +186,109 @@ def grozi_visualize_test(root, index, out):
     _save_boxes_viz(img, boxes, out, labels=list(anns))
 
 
+@grozi.command("visualize")
+@click.option("--root", default=defaults.GROZI_ROOT, show_default=True)
+@click.option("--out", required=True)
+@click.option("--seed", default=0, show_default=True)
+def grozi_visualize(root, out, seed):
+    """Dataset overview: 2 random test frames with boxes + the training
+    images of the products they contain, padded to 8 with random products
+    (cvpce/cli/datasets/grozi.py visualize)."""
+    import numpy as np
+
+    from ..data.grozi import GroZiDataset, GroZiTestSet
+    from ..utils.viz import save_dataset_sample
+
+    rng = np.random.default_rng(seed)
+    train_set = GroZiDataset(root)
+    test_set = GroZiTestSet(root)
+    picks = [test_set[int(rng.integers(len(test_set)))] for _ in range(2)]
+    test_imgs = [p[0] for p in picks]
+    test_anns = [[int(a) for a in p[1]] for p in picks]
+    test_boxes = [p[2] for p in picks]
+
+    uniq = sorted(set(test_anns[0]) | set(test_anns[1]))
+    train_imgs, train_anns = [], []
+    for ann in uniq:
+        idx = train_set.index_for_ann(ann)
+        if idx is not None:
+            img, a = train_set[idx]
+            train_imgs.append(img)
+            train_anns.append(a)
+    while len(train_imgs) < 8:
+        img, a = train_set[int(rng.integers(len(train_set)))]
+        train_imgs.append(img)
+        train_anns.append(a)
+    save_dataset_sample(test_imgs, test_boxes, test_anns,
+                        train_imgs, train_anns, out)
+    click.echo(f"saved {out} (test products: {uniq})")
+
+
 @datasets.group()
 def internal():
     """Internal dataset (cvpce/cli/datasets/internal.py)."""
+
+
+@internal.command("visualize-train")
+@click.option("--root", required=True)
+@click.option("--index", default=None, type=int,
+              help="item index; random when omitted")
+@click.option("--out", required=True)
+@click.option("--seed", default=0, show_default=True)
+def internal_visualize_train(root, index, out, seed):
+    """One training item: embedder input / generator input / alpha mask
+    triple + its hierarchy and annotation
+    (cvpce/cli/datasets/internal.py visualize-train)."""
+    import numpy as np
+
+    from ..data.grocery import InternalTrainSet
+    from ..ops.image import scale_from_tanh
+    from ..utils.viz import save_multiple
+
+    ds = InternalTrainSet(root, include_annotations=True,
+                          include_masks=True)
+    if index is None:
+        index = int(np.random.default_rng(seed).integers(len(ds)))
+    img, gen, hier, ann = ds[index]
+    mask = gen[..., 3]
+    save_multiple([scale_from_tanh(img), scale_from_tanh(gen[..., :3]),
+                   np.stack([mask, mask, mask], -1)], out)
+    click.echo(" - ".join(hier))
+    click.echo(f"{ann} -> {out}")
+
+
+@internal.command("visualize")
+@click.option("--root", required=True)
+@click.option("--out", required=True)
+@click.option("--seed", default=0, show_default=True)
+def internal_visualize_overview(root, out, seed):
+    """Dataset overview: 2 random planoset scenes + 8 random training
+    products (cvpce/cli/datasets/internal.py visualize)."""
+    from os import path as osp
+
+    import numpy as np
+
+    from ..data.grocery import InternalTrainSet
+    from ..data.planograms import InternalPlanoSet
+    from ..ops.image import scale_from_tanh
+    from ..utils.viz import save_dataset_sample
+
+    rng = np.random.default_rng(seed)
+    test_set = InternalPlanoSet(root)
+    train_set = InternalTrainSet(osp.join(root, "ConvertedProducts"),
+                                 include_annotations=True,
+                                 random_crop=False, resize=False)
+    test_imgs = [test_set[int(rng.integers(len(test_set)))][0]
+                 for _ in range(2)]
+    train_imgs, train_anns = [], []
+    for _ in range(8):
+        img, _, _, ann = train_set[int(rng.integers(len(train_set)))]
+        train_imgs.append(scale_from_tanh(img))
+        train_anns.append(ann[:8])
+    click.echo(f"Different products: {len(set(train_set.annotations))}")
+    save_dataset_sample(test_imgs, [[], []], [[], []],
+                        train_imgs, train_anns, out)
+    click.echo(f"saved {out}")
 
 
 @internal.command("visualize-planoset")

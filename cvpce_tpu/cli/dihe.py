@@ -225,7 +225,14 @@ def hyperopt(source, imgs, annotations, test_imgs, test_annotations, out,
         test_imgs, test_annotations,
         only=defaults.GP_TEST_VALIDATION_SET_SIZE)
 
-    def train_one_epoch(config, epoch, carry):
+    import itertools
+    from contextlib import nullcontext
+
+    import jax
+
+    trial_seq = itertools.count(1)  # thread-safe trial-dir counter
+
+    def train_one_epoch(config, epoch, carry, device=None):
         cfg = DIHETrainConfig(enc_lr=config["enc_lr"],
                               enc_multiplier=config["enc_multiplier"],
                               batchnorm=config["batchnorm"])
@@ -234,14 +241,20 @@ def hyperopt(source, imgs, annotations, test_imgs, test_annotations, out,
         def report(**kw):
             metrics.update(kw)
 
-        train_dihe(dataset, discset, dataset, evalset,
-                   path.join(out, "trial_tmp"), epochs=1,
-                   batch_size=batch_size, train_cfg=cfg,
-                   hyperopt_report=report)
-        return metrics.get("accuracy", 0.0), None
+        if carry is None:  # first epoch of this trial: own working dir
+            carry = path.join(out, f"trial_{next(trial_seq):03d}")
+        # one trial per device (cvpce/cli/dihe.py:243), no mesh inside
+        ctx = jax.default_device(device) if device is not None \
+            else nullcontext()
+        with ctx:
+            train_dihe(dataset, discset, dataset, evalset,
+                       carry, epochs=1, batch_size=batch_size,
+                       train_cfg=cfg, use_mesh=False,
+                       hyperopt_report=report)
+        return metrics.get("accuracy", 0.0), carry
 
     result = run_search(train_one_epoch, DIHE_SPACE, num_trials=trials,
-                        max_epochs=max_epochs)
+                        max_epochs=max_epochs, devices=jax.devices())
     click.echo(json.dumps({"best_config": result["best_config"],
                            "best_metric": result["best_metric"]}, indent=2))
     with open(path.join(out, "hyperopt_result.json"), "w") as f:

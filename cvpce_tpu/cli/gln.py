@@ -289,8 +289,10 @@ def seek_outliers(imgs, annotations, weights, sigmas):
 @click.option("--trials", default=16, show_default=True)
 @click.option("--max-epochs", default=9, show_default=True)
 @click.option("--batch-size", default=1, show_default=True)
+@click.option("--canvas", nargs=2, type=int, default=(832, 1344),
+              show_default=True, help="detector canvas (h w)")
 def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
-             max_epochs, batch_size):
+             max_epochs, batch_size, canvas):
     """Hyperparameter search over the reference's GLN space
     (cvpce/cli/gln.py:171-200) with ASHA early stopping and
     exploding-gradient tolerance (max_failures=2, cli/gln.py:215)."""
@@ -304,8 +306,19 @@ def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
 
     os.makedirs(out, exist_ok=True)
 
-    def train_one_epoch(config, epoch, carry):
-        model_cfg = GLNConfig(tanh=config["tanh"])
+    import itertools
+
+    import jax
+
+    trial_seq = itertools.count(1)  # thread-safe trial-dir counter
+
+    ch, cw = canvas
+
+    def train_one_epoch(config, epoch, carry, device=None):
+        model_cfg = GLNConfig(
+            tanh=config["tanh"], canvas_h=ch, canvas_w=cw,
+            max_nms_candidates=min(5120, (ch // 8) * (cw // 8)),
+            detections_per_img=min(1000, (ch // 8) * (cw // 8)))
         # threshold re-parameterization as in
         # proposals_training.py:62-67 (apply_hyperopt_config)
         tmin = -1.0 if config["tanh"] else 0.0
@@ -331,17 +344,26 @@ def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
         def report(**kw):
             metrics.update(kw)
 
-        train_proposal_generator(
-            dataset, evalset,
-            path.join(out, f"trial_tmp"), model_cfg=model_cfg,
-            train_cfg=train_cfg, batch_size=batch_size, epochs=1,
-            eval_interval=1, resume=epoch > 0, hyperopt_report=report)
-        return metrics.get("average_precision", 0.0), None
+        if carry is None:  # first epoch of this trial: own working dir
+            carry = path.join(out, f"trial_{next(trial_seq):03d}")
+        # one trial per device (the reference's one-GPU-per-trial
+        # placement, cvpce/cli/gln.py:214); the mesh stays off inside
+        # trials so concurrent trials don't contend for chips
+        ctx = jax.default_device(device) if device is not None \
+            else _nullcontext()
+        with ctx:
+            train_proposal_generator(
+                dataset, evalset, carry, model_cfg=model_cfg,
+                train_cfg=train_cfg, batch_size=batch_size, epochs=1,
+                eval_interval=1, resume=epoch > 0, use_mesh=False,
+                hyperopt_report=report)
+        return metrics.get("average_precision", 0.0), carry
 
+    from contextlib import nullcontext as _nullcontext
     from os import path
 
     result = run_search(train_one_epoch, GLN_SPACE, num_trials=trials,
-                        max_epochs=max_epochs)
+                        max_epochs=max_epochs, devices=jax.devices())
     click.echo(json.dumps({"best_config": result["best_config"],
                            "best_metric": result["best_metric"]}, indent=2))
     with open(path.join(out, "hyperopt_result.json"), "w") as f:

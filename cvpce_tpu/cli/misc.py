@@ -80,25 +80,37 @@ def pipeline_demo(image, gallery, plano_path, gln_weights, encoder_weights,
 @click.option("--imgs", required=True)
 @click.option("--annotations", required=True,
               help="COCO instances_*.json")
-@click.option("--weights", required=True, help="GLN checkpoint")
+@click.option("--weights", default=None,
+              help="GLN checkpoint; random init if omitted (smoke mode)")
 @click.option("--limit", default=100, show_default=True)
 @click.option("--coco-thresholds", "coco_sweep", is_flag=True)
-def retinanet_coco_test(imgs, annotations, weights, limit, coco_sweep):
+@click.option("--canvas", nargs=2, type=int, default=(832, 1344),
+              show_default=True, help="detector canvas (h w)")
+def retinanet_coco_test(imgs, annotations, weights, limit, coco_sweep,
+                        canvas):
     """Base-detector sanity check on COCO (cvpce/cli/misc.py:29-101).
 
     The reference runs torchvision's pretrained RetinaNet through
-    pycocotools COCOeval; here the detector is our GLN evaluated
-    class-agnostically with the reference metric suite (pycocotools-free:
-    data/coco.py is a pure-JSON reader, ops/metrics.py pins the AP
-    semantics via golden tests)."""
+    pycocotools COCOeval (cvpce/cli/misc.py:54-101) — an INDEPENDENT
+    referee. Both graders run here: the in-house reference metric suite
+    (ops/metrics.py, 11-pt VOC AP pinned by golden tests) and the
+    pycocotools-equivalent COCO protocol (eval/coco_protocol.py: 101-pt
+    AP, area ranges, maxDets), cross-checking each other on the same
+    detections."""
     import numpy as np
 
     from ..data.coco import CocoDetectionDataset
+    from ..eval.coco_protocol import (ImageDetections,
+                                      evaluate_coco_protocol)
     from ..eval.proposals import DetectionEvalAdapter, evaluate_gln
 
-    config = GLNConfig()
-    variables = load_gln_variables(weights, config)
+    h, w = canvas
+    config = GLNConfig(canvas_h=h, canvas_w=w,
+                       max_nms_candidates=min(5120, (h // 8) * (w // 8)),
+                       detections_per_img=min(1000, (h // 8) * (w // 8)))
+    # index the dataset before the (slow) model init so bad paths fail fast
     base = CocoDetectionDataset(imgs, annotations)
+    variables = load_gln_variables(weights, config)
     if limit:
         base.index = base.index[:limit]
     adapter = DetectionEvalAdapter(
@@ -106,7 +118,24 @@ def retinanet_coco_test(imgs, annotations, weights, limit, coco_sweep):
         config.canvas_h, config.canvas_w)
     thresholds = (tuple(np.arange(0.5, 1.0, 0.05).round(2))
                   if coco_sweep else (0.5,))
-    res = evaluate_gln(variables, adapter, config, thresholds=thresholds)
-    summary = {str(t): {k: float(v) for k, v in d.items() if k != "raw"}
-               for t, d in res.items()}
-    click.echo(json.dumps(summary, indent=2))
+    res, (tgts, preds, confs) = evaluate_gln(
+        variables, adapter, config, thresholds=thresholds,
+        return_detections=True)
+    referee = evaluate_coco_protocol({None: [
+        ImageDetections(p, c, t) for t, p, c in zip(tgts, preds, confs)]})
+    summary = {
+        "reference_protocol": {
+            str(t): {k: float(v) for k, v in d.items() if k != "raw"}
+            for t, d in res.items()},
+        "coco_protocol": {k: v for k, v in referee.items()
+                          if k != "per_threshold"},
+    }
+
+    def _sanitize(obj):  # NaN (empty area bucket) -> null for strict JSON
+        if isinstance(obj, dict):
+            return {k: _sanitize(v) for k, v in obj.items()}
+        if isinstance(obj, float) and obj != obj:
+            return None
+        return obj
+
+    click.echo(json.dumps(_sanitize(summary), indent=2))

@@ -67,7 +67,8 @@ def evaluate_gln(variables: Dict, dataset, config: GLNConfig,
                  thresholds: Sequence[float] = (0.5,),
                  batch_size: int = 4, score_min: float = 0.0,
                  verbose: bool = False,
-                 plot_out: str | None = None) -> Dict:
+                 plot_out: str | None = None,
+                 return_detections: bool = False) -> Dict:
     """Run detection over `dataset` (items with image/boxes/image_size/scale
     fields, e.g. data.SKU110KDataset with flip_chance=0) and compute the
     reference metric suite (AP, AR@300, max-F1 P/R/C) per IoU threshold.
@@ -112,4 +113,6 @@ def evaluate_gln(variables: Dict, dataset, config: GLNConfig,
             plot_prfc(raw["p"], raw["r"], raw["f"], raw["c"],
                       plot_out.replace(".png", f"_iou{t}.png"),
                       title=f"IoU {t}")
+    if return_detections:
+        return res, (targets, predictions, confidences)
     return res

@@ -1,12 +1,23 @@
-"""Hyperparameter search: random sampling + ASHA early stopping.
+"""Hyperparameter search: TPE sampling + ASHA early stopping, trials
+running concurrently one-per-device.
 
 Re-design of the reference's Ray Tune usage (cvpce/hyperopt.py,
-cvpce/cli/gln.py:135-228, cvpce/cli/dihe.py:169-255: HyperOptSearch +
-ASHAScheduler, one GPU per trial, max_failures=2 for exploding-gradient
-trials). Single-controller JAX makes trials sequential on one
-mesh/chip, so this is a lean in-process implementation: log-uniform /
-choice sampling and the standard ASHA promotion rule, with failure
-tolerance for exploded losses.
+cvpce/cli/gln.py:135-228, cvpce/cli/dihe.py:169-255: HyperOptSearch (TPE)
++ ASHAScheduler, one GPU per trial, max_failures=2 for exploding-gradient
+trials) without the Ray dependency:
+
+- `TPESampler`: the tree-structured Parzen estimator rule HyperOptSearch
+  implements — split observations into good/bad by metric quantile, model
+  each dimension's good and bad densities (Gaussian mixtures over observed
+  points for continuous domains, smoothed counts for categorical), draw
+  candidates from the good density and keep the argmax of l(x)/g(x).
+- `run_search(..., devices=[...])`: a thread pool with one worker per
+  device; each trial's `train_one_epoch` receives its assigned device
+  (pass `device=` through to `jax.jit` / `jax.device_put`). XLA execution
+  releases the GIL, so per-device trials genuinely overlap — the TPU-mesh
+  analogue of Ray's one-GPU-per-trial placement.
+- ASHA promotion is asynchronous by construction: stop decisions use
+  whatever peers have reached the rung so far.
 
 Search spaces from the reference:
 - GLN (cli/gln.py:171-200): tanh, lr multiplier, scale_class,
@@ -16,7 +27,9 @@ Search spaces from the reference:
 from __future__ import annotations
 
 import dataclasses
+import inspect
 import math
+import threading
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -113,8 +126,102 @@ class ASHA:
         return trial.results[epoch - 1] < cutoff
 
 
+class TPESampler:
+    """Tree-structured Parzen estimator over an independent per-dimension
+    space (the rule behind HyperOptSearch, cvpce/cli/gln.py:205-207).
+
+    Until `n_startup` observations exist, samples randomly. After that:
+    observations are split at the `gamma` metric quantile; each dimension
+    gets a good density l(x) and a bad density g(x) (Gaussian mixtures over
+    observed points blended with a uniform prior; smoothed counts for
+    Choice); `n_candidates` draws from l(x) are scored by l(x)/g(x) and the
+    argmax wins.
+    """
+
+    def __init__(self, space: Dict[str, Domain], seed: int = 0,
+                 n_startup: int = 8, gamma: float = 0.25,
+                 n_candidates: int = 24):
+        self.space = space
+        self.rng = np.random.default_rng(seed)
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+
+    # -- continuous helpers ------------------------------------------------
+    @staticmethod
+    def _bounds(dom: Domain):
+        if isinstance(dom, LogUniform):
+            return math.log(dom.low), math.log(dom.high), True
+        return dom.low, dom.high, False
+
+    def _mixture_logpdf(self, z, points, lo, hi):
+        """log pdf of (uniform prior + gaussians at points), all weighted
+        equally — hyperopt's adaptive-Parzen shape, simplified."""
+        span = hi - lo
+        sigma = max(span / max(len(points), 1) , 1e-3 * span)
+        comps = [np.full_like(z, -math.log(span))]  # uniform prior
+        for p in points:
+            comps.append(-0.5 * ((z - p) / sigma) ** 2
+                         - math.log(sigma * math.sqrt(2 * math.pi)))
+        stacked = np.stack(comps)
+        m = stacked.max(axis=0)
+        return m + np.log(np.exp(stacked - m).mean(axis=0))
+
+    def _sample_continuous(self, dom, good_z, bad_z):
+        lo, hi, is_log = self._bounds(dom)
+        span = hi - lo
+        sigma = max(span / max(len(good_z), 1), 1e-3 * span)
+        # candidate draws from the good mixture (incl. the uniform prior)
+        idx = self.rng.integers(-1, len(good_z), self.n_candidates)
+        cands = np.where(
+            idx < 0,
+            self.rng.uniform(lo, hi, self.n_candidates),
+            np.asarray([good_z[i] if i >= 0 else 0.0 for i in idx])
+            + self.rng.normal(0, sigma, self.n_candidates))
+        cands = np.clip(cands, lo, hi)
+        score = (self._mixture_logpdf(cands, good_z, lo, hi)
+                 - self._mixture_logpdf(cands, bad_z, lo, hi))
+        z = float(cands[int(np.argmax(score))])
+        return float(np.exp(z)) if is_log else z
+
+    def _sample_choice(self, dom: Choice, good_vals, bad_vals):
+        opts = list(dom.options)
+
+        def probs(vals):
+            counts = np.array([1.0 + sum(1 for v in vals if v == o)
+                               for o in opts])
+            return counts / counts.sum()
+        pg, pb = probs(good_vals), probs(bad_vals)
+        cand_idx = self.rng.choice(len(opts), self.n_candidates, p=pg)
+        ratios = pg[cand_idx] / pb[cand_idx]
+        return opts[int(cand_idx[int(np.argmax(ratios))])]
+
+    def sample(self, observations: List[tuple]) -> Dict[str, Any]:
+        """observations: [(config, metric)] for every trial with >=1 result."""
+        obs = [(c, m) for c, m in observations if np.isfinite(m)]
+        if len(obs) < self.n_startup:
+            return {k: d.sample(self.rng) for k, d in self.space.items()}
+        metrics = np.asarray([m for _, m in obs])
+        n_good = max(1, int(math.ceil(self.gamma * len(obs))))
+        order = np.argsort(-metrics)
+        good = [obs[i][0] for i in order[:n_good]]
+        bad = [obs[i][0] for i in order[n_good:]] or good
+        out = {}
+        for k, dom in self.space.items():
+            gv = [c[k] for c in good]
+            bv = [c[k] for c in bad]
+            if isinstance(dom, Choice):
+                out[k] = self._sample_choice(dom, gv, bv)
+            else:
+                _, _, is_log = self._bounds(dom)
+                gz = [math.log(v) if is_log else v for v in gv]
+                bz = [math.log(v) if is_log else v for v in bv]
+                out[k] = self._sample_continuous(dom, gz, bz)
+        return out
+
+
 def run_search(
-    train_one_epoch: Callable[[Dict, int, Optional[Any]], tuple],
+    train_one_epoch: Callable[..., tuple],
     space: Dict[str, Domain],
     num_trials: int = 16,
     max_epochs: int = 9,
@@ -123,47 +230,91 @@ def run_search(
     max_failures: int = 2,
     seed: int = 0,
     verbose: bool = True,
+    sampler: str = "tpe",
+    devices: Optional[Sequence] = None,
 ) -> Dict:
-    """Run the search.
+    """Run the search, one concurrent trial per device.
 
     Args:
-      train_one_epoch: (config, epoch, carry) -> (metric, carry). `carry`
-        holds live training state between epochs of the same trial
-        (None on epoch 0). Raise to signal a failed trial (e.g. exploded
-        loss, proposals_training.py:238-242).
+      train_one_epoch: (config, epoch, carry) -> (metric, carry), or
+        (config, epoch, carry, device) -> (metric, carry) to receive the
+        trial's assigned device (detected by signature). `carry` holds live
+        training state between epochs of the same trial (None on epoch 0).
+        Raise to signal a failed trial (e.g. exploded loss,
+        proposals_training.py:238-242).
+      sampler: 'tpe' (HyperOptSearch-equivalent) or 'random'.
+      devices: devices to parallelize over (e.g. jax.devices()); one
+        worker thread per device. None -> a single worker, no device pin.
 
     Returns dict with 'best_config', 'best_metric', 'trials'.
     """
     rng = np.random.default_rng(seed)
+    tpe = TPESampler(space, seed=seed) if sampler == "tpe" else None
     scheduler = ASHA(max_epochs, grace_period, reduction_factor)
     trials: List[Trial] = []
+    lock = threading.Lock()
+    next_id = [0]
+    wants_device = "device" in inspect.signature(train_one_epoch).parameters
 
-    for tid in range(num_trials):
-        config = {k: d.sample(rng) for k, d in space.items()}
-        trial = Trial(tid, config)
-        trials.append(trial)
+    def sample_config():
+        if tpe is None:
+            return {k: d.sample(rng) for k, d in space.items()}
+        observations = [(t.config, t.best) for t in trials
+                        if t.results and not t.failed]
+        return tpe.sample(observations)
+
+    def run_trial(trial: Trial, device) -> None:
         carry = None
         failures = 0
         epoch = 0
         while epoch < max_epochs:
             try:
-                metric, carry = train_one_epoch(config, epoch, carry)
+                if wants_device:
+                    metric, carry = train_one_epoch(trial.config, epoch,
+                                                    carry, device=device)
+                else:
+                    metric, carry = train_one_epoch(trial.config, epoch,
+                                                    carry)
             except Exception as e:  # noqa: BLE001 — trial-level tolerance
                 failures += 1
                 if verbose:
-                    print(f"[trial {tid}] failure {failures}: {e}")
+                    print(f"[trial {trial.trial_id}] failure "
+                          f"{failures}: {e}")
                 if failures > max_failures:
                     trial.failed = True
                     break
                 continue
-            trial.results.append(float(metric))
+            with lock:
+                trial.results.append(float(metric))
+                stop = scheduler.should_stop(trial, trials)
             if verbose:
-                print(f"[trial {tid}] epoch {epoch}: {metric:.4f} "
-                      f"config={config}")
-            if scheduler.should_stop(trial, trials):
+                print(f"[trial {trial.trial_id}] epoch {epoch}: "
+                      f"{metric:.4f} config={trial.config}")
+            if stop:
                 trial.stopped = True
                 break
             epoch += 1
+
+    def worker(device) -> None:
+        while True:
+            with lock:
+                if next_id[0] >= num_trials:
+                    return
+                tid = next_id[0]
+                next_id[0] += 1
+                trial = Trial(tid, sample_config())
+                trials.append(trial)
+            run_trial(trial, device)
+
+    if devices is not None and len(devices) > 1:
+        threads = [threading.Thread(target=worker, args=(d,), daemon=True)
+                   for d in devices]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    else:
+        worker(devices[0] if devices else None)
 
     ok = [t for t in trials if not t.failed and t.results]
     best = max(ok, key=lambda t: t.best) if ok else None

@@ -67,6 +67,46 @@ def save_multiple(images: Sequence[np.ndarray], out: str) -> None:
     plt.close(fig)
 
 
+def save_dataset_sample(test_imgs: Sequence[np.ndarray],
+                        test_boxes: Sequence,
+                        test_labels: Sequence,
+                        train_imgs: Sequence[np.ndarray],
+                        train_labels: Sequence,
+                        out: str) -> None:
+    """Dataset overview: test scenes (with GT boxes) on top, a grid of
+    training-product thumbnails below (cvpce/utils.py draw_dataset_sample,
+    used by `datasets grozi visualize` / `datasets internal visualize`)."""
+    plt = _plt()
+    from matplotlib import patches
+
+    n_test = max(len(test_imgs), 1)
+    n_train = len(train_imgs)
+    cols = max(n_test, min(n_train, 4), 1)
+    train_rows = int(np.ceil(n_train / cols)) if n_train else 0
+    fig, axes = plt.subplots(1 + train_rows, cols,
+                             figsize=(4 * cols, 4 * (1 + train_rows)),
+                             squeeze=False)
+    for ax in axes.ravel():
+        ax.axis("off")
+    for i, img in enumerate(test_imgs):
+        ax = axes[0][i]
+        ax.imshow(np.clip(np.asarray(img).squeeze(), 0, 1))
+        for j, (x1, y1, x2, y2) in enumerate(np.asarray(
+                test_boxes[i]).reshape(-1, 4)):
+            ax.add_patch(patches.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                           fill=False, edgecolor="lime"))
+            if i < len(test_labels) and j < len(test_labels[i]):
+                ax.text(x1, y1, str(test_labels[i][j]), color="yellow",
+                        fontsize=6)
+    for i, img in enumerate(train_imgs):
+        ax = axes[1 + i // cols][i % cols]
+        ax.imshow(np.clip(np.asarray(img).squeeze(), 0, 1))
+        if i < len(train_labels):
+            ax.set_title(str(train_labels[i]), fontsize=8)
+    fig.savefig(out, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
 def save_embedding_scatter(embeddings: np.ndarray, out: str,
                            labels: Optional[Sequence] = None,
                            fake_embeddings: Optional[np.ndarray] = None

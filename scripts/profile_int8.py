@@ -91,7 +91,7 @@ def bench_conv(name, h, w, cin, cout, mult):
             y = jnp.clip(y >> 7, -127, 127).astype(jnp.int8)
             return (y[..., :cin] if cout >= cin
                     else jnp.tile(y, (1, 1, 1, cin // cout + 1))[..., :cin])
-        return jax.lax.fori_loop(0, REPS, conv_one, xq).astype(
+        return jax.lax.fori_loop(0, REPS, lambda i, z: conv_one(z), xq).astype(
             jnp.int32).sum()
 
     try:

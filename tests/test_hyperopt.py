@@ -1,10 +1,14 @@
 """Hyperopt search tests (synthetic objective, no models)."""
+import threading
+import time
+
 import numpy as np
 
 from cvpce_tpu.train.hyperopt import (
     ASHA,
     Choice,
     LogUniform,
+    TPESampler,
     Trial,
     Uniform,
     run_search,
@@ -41,6 +45,78 @@ def test_search_finds_good_region():
     assert res["best_config"] is not None
     assert abs(res["best_config"]["x"] - 0.7) < 0.2
     assert res["best_metric"] > 0.8
+
+
+def test_tpe_concentrates_samples_near_optimum():
+    """After startup, TPE proposals must cluster around the good region of
+    a quadratic objective — the HyperOptSearch behavior the reference
+    relies on (cvpce/cli/gln.py:205-207)."""
+    space = {"x": Uniform(0.0, 1.0), "lr": LogUniform(1e-6, 1e-2),
+             "flag": Choice([True, False])}
+    sampler = TPESampler(space, seed=0, n_startup=8)
+    rng = np.random.default_rng(0)
+    obs = []
+    for _ in range(30):
+        cfg = sampler.sample(obs)
+        # optimum: x=0.7, lr=1e-4, flag=True
+        metric = (1 - abs(cfg["x"] - 0.7)
+                  - 0.3 * abs(np.log10(cfg["lr"]) + 4) / 4
+                  + (0.2 if cfg["flag"] else 0.0)
+                  + 0.01 * rng.normal())
+        obs.append((cfg, metric))
+    late = [c for c, _ in obs[-10:]]
+    # late proposals concentrate: median distance to optimum well under
+    # the uniform-sampling expectation (~0.27)
+    assert np.median([abs(c["x"] - 0.7) for c in late]) < 0.15
+    assert np.median([abs(np.log10(c["lr"]) + 4) for c in late]) < 1.5
+    assert sum(c["flag"] for c in late) >= 7
+    # samples stay in range
+    assert all(0.0 <= c["x"] <= 1.0 and 1e-6 <= c["lr"] <= 1e-2
+               for c, _ in obs)
+
+
+def test_tpe_search_beats_budgeted_random():
+    def objective(config, epoch, carry):
+        return 1 - (config["x"] - 0.31) ** 2 - abs(config["y"] - 0.62), None
+
+    space = {"x": Uniform(0, 1), "y": Uniform(0, 1)}
+    tpe_best = np.mean([run_search(objective, space, num_trials=24,
+                                   max_epochs=1, seed=s, verbose=False,
+                                   sampler="tpe")["best_metric"]
+                        for s in range(3)])
+    rand_best = np.mean([run_search(objective, space, num_trials=24,
+                                    max_epochs=1, seed=s, verbose=False,
+                                    sampler="random")["best_metric"]
+                         for s in range(3)])
+    assert tpe_best >= rand_best - 1e-6
+
+
+def test_parallel_trials_saturate_devices():
+    """8 trials over 8 fake devices must actually run concurrently and
+    each trial must receive its own device (the reference's
+    one-GPU-per-trial placement, cvpce/cli/gln.py:214)."""
+    lock = threading.Lock()
+    active = [0]
+    peak = [0]
+    used_devices = set()
+
+    def train_one_epoch(config, epoch, carry, device=None):
+        with lock:
+            active[0] += 1
+            peak[0] = max(peak[0], active[0])
+            used_devices.add(device)
+        time.sleep(0.05)  # hold the slot so overlap is observable
+        with lock:
+            active[0] -= 1
+        return config["x"], None
+
+    devices = [f"dev{i}" for i in range(8)]
+    res = run_search(train_one_epoch, {"x": Uniform(0, 1)},
+                     num_trials=8, max_epochs=1, seed=0, verbose=False,
+                     devices=devices)
+    assert res["best_config"] is not None
+    assert used_devices == set(devices)
+    assert peak[0] >= 4  # genuine overlap, not serialized
 
 
 def test_failures_tolerated_then_fatal():
