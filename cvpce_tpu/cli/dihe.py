@@ -115,18 +115,21 @@ def train(source, imgs, annotations, test_imgs, test_annotations, out,
 @click.option("--batch-size", default=32, show_default=True)
 @click.option("--encoder", type=click.Choice(["vgg16", "resnet50"]),
               default="vgg16", show_default=True)
+@click.option("--int8", is_flag=True,
+              help="int8 MXU embed fast path (vgg16 only)")
 @click.option("--index", default=None,
               help="prebuilt classifier index (skips gallery embedding)")
 @click.option("--validation", is_flag=True,
               help="first 2 annotations per image (defaults.py:24-26)")
 def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
-             weights, k, batch_size, encoder, index, validation):
+             weights, k, batch_size, encoder, int8, index, validation):
     """Gallery-kNN classification accuracy (cvpce/cli/dihe.py:257-309)."""
     from ..data.grocery import (GroceryProductsDataset,
                                 GroceryProductsTestSet)
     from ..eval.classification import eval_dihe
 
-    encoder_fn, emb_size = load_embedder(weights, encoder=encoder)
+    encoder_fn, emb_size = load_embedder(weights, encoder=encoder,
+                                         int8=int8)
     sampleset = None if index else GroceryProductsDataset(
         list(source), random_crop=False, include_annotations=True)
     testset = GroceryProductsTestSet(
@@ -144,13 +147,16 @@ def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
 @click.option("--weights", default=None)
 @click.option("--out", required=True, type=click.Path())
 @click.option("--batch-size", default=32, show_default=True)
-def prebuild_index(source, imgs, annotations, weights, out, batch_size):
+@click.option("--int8", is_flag=True,
+              help="int8 MXU embed fast path")
+def prebuild_index(source, imgs, annotations, weights, out, batch_size,
+                   int8):
     """Embed the gallery once and save the classifier index
     (cvpce/cli/dihe.py:382-423)."""
     from ..data.grocery import GroceryProductsDataset
     from ..pipeline.classifier import Classifier
 
-    encoder_fn, emb_size = load_embedder(weights)
+    encoder_fn, emb_size = load_embedder(weights, int8=int8)
     sampleset = GroceryProductsDataset(list(source), random_crop=False,
                                        include_annotations=True)
     classifier = Classifier(encoder_fn, emb_size, sampleset,

@@ -39,7 +39,8 @@ def _build_pipeline(gln_weights, encoder_weights, source, index,
     variables = load_gln_variables(gln_weights, config)
     generator = ProposalGenerator(variables, config,
                                   confidence_threshold=confidence)
-    encoder_fn, emb_size = load_embedder(encoder_weights)
+    # --fast extends to the embed stage: int8 MXU convs (vgg16 path)
+    encoder_fn, emb_size = load_embedder(encoder_weights, int8=fast)
     if index:
         classifier = Classifier(encoder_fn, emb_size, load=index, k=k)
     else:

@@ -130,15 +130,26 @@ def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
 @click.option("--batch-size", default=4, show_default=True)
 @click.option("--fast", is_flag=True,
               help="bf16 + approx top-k TPU speed path")
+@click.option("--canvas", nargs=2, type=int, default=(832, 1344),
+              show_default=True, help="detector canvas (h w)")
+@click.option("--max-detections", default=1000, show_default=True,
+              help="detections kept per image (postprocess shape)")
+@click.option("--nms-candidates", default=5120, show_default=True,
+              help="device NMS candidate budget across levels")
 @click.option("--out", default=None, help="write metrics JSON here")
 @click.option("--plots", default=None,
               help="save P/R/F1 curve plots here (.png)")
 def eval_cmd(imgs, annotations, weights, dataset_type, iou_thresholds,
-             coco, batch_size, fast, out, plots):
+             coco, batch_size, fast, canvas, max_detections,
+             nms_candidates, out, plots):
     """Proposal AP/AR evaluation (cvpce/cli/gln.py:230-280)."""
+    import dataclasses
+
     from ..eval.proposals import evaluate_gln
 
-    config = default_gln_config(fast)
+    config = dataclasses.replace(
+        default_gln_config(fast), canvas_h=canvas[0], canvas_w=canvas[1],
+        detections_per_img=max_detections, max_nms_candidates=nms_candidates)
     variables = load_gln_variables(weights, config)
     dataset = _load_eval_dataset(dataset_type, imgs, annotations, config)
     if coco:

@@ -35,6 +35,25 @@ def make_inference_fn(variables: Dict, config: GLNConfig) -> Callable:
     return infer
 
 
+def make_variables_inference_fn(config: GLNConfig) -> Callable:
+    """Like make_inference_fn but with `variables` as a traced argument:
+    (variables, images, image_sizes) -> detections. One compilation serves
+    every checkpoint of a training run (the closure version retraces per
+    weight snapshot — expensive where remote compile is slow)."""
+    anchors, counts = config.anchors()
+    model = GLN(config=config, train=False)
+    anchors_j = jnp.asarray(anchors)
+
+    @jax.jit
+    def infer(variables: Dict, images: Array,
+              image_sizes: Array) -> Dict[str, Array]:
+        outputs = model.apply(variables, images)
+        return postprocess_detections(outputs, anchors_j, counts,
+                                      image_sizes, config)
+
+    return infer
+
+
 class DetectionEvalAdapter:
     """Wrap any (image, boxes) dataset into canvas-transformed eval items
     so evaluate_gln can consume GP-180 / GP-baseline sets too
@@ -68,7 +87,8 @@ def evaluate_gln(variables: Dict, dataset, config: GLNConfig,
                  batch_size: int = 4, score_min: float = 0.0,
                  verbose: bool = False,
                  plot_out: str | None = None,
-                 return_detections: bool = False) -> Dict:
+                 return_detections: bool = False,
+                 infer_fn: Callable | None = None) -> Dict:
     """Run detection over `dataset` (items with image/boxes/image_size/scale
     fields, e.g. data.SKU110KDataset with flip_chance=0) and compute the
     reference metric suite (AP, AR@300, max-F1 P/R/C) per IoU threshold.
@@ -76,7 +96,12 @@ def evaluate_gln(variables: Dict, dataset, config: GLNConfig,
     Detections are mapped back to original image coordinates before
     matching, mirroring torchvision's postprocess rescale.
     """
-    infer = make_inference_fn(variables, config)
+    if infer_fn is not None:
+        # pre-compiled (variables, images, sizes) fn shared across calls
+        def infer(images, sizes):
+            return infer_fn(variables, images, sizes)
+    else:
+        infer = make_inference_fn(variables, config)
     targets: List[np.ndarray] = []
     predictions: List[np.ndarray] = []
     confidences: List[np.ndarray] = []

@@ -37,10 +37,13 @@ def shard_batch(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def make_dp_train_step(train_step: Callable, mesh: Mesh,
-                       donate_state: bool = True) -> Callable:
+                       donate_state: bool = True,
+                       batch_axis: int = 0) -> Callable:
     """Wrap a (state, *batch_arrays) -> (state, metrics) step for DP.
 
-    State/params replicated, every batch array sharded on its leading axis.
+    State/params replicated, every batch array sharded on `batch_axis`
+    (0 for a plain step; 1 for a `make_multi_step` scan whose batches
+    carry a leading steps axis).
     XLA turns the mean-over-batch gradients into an ICI all-reduce.
 
     Shardings are declared via `in_shardings`, so host batches are
@@ -51,7 +54,8 @@ def make_dp_train_step(train_step: Callable, mesh: Mesh,
     Place the state once with `put_replicated` before the first step.
     """
     repl = replicate(mesh)
-    data = shard_batch(mesh)
+    data = NamedSharding(
+        mesh, P(*([None] * batch_axis), mesh.axis_names[0]))
     jitted_by_arity: dict = {}
 
     def step(state, *batch):

@@ -238,6 +238,29 @@ def make_train_step(model_cfg: GLNConfig, cfg: GLNTrainConfig,
     return train_step
 
 
+def make_multi_step(step_fn):
+    """Scan `step_fn` over a leading steps axis of stacked batches inside
+    one compiled call — the train state never leaves HBM between steps.
+
+    The reference pays a Python-loop dispatch + host sync per optimizer
+    step (cvpce/proposals_training.py:222-264); on TPU a `lax.scan` of k
+    steps amortizes dispatch to one call per k steps and returns only the
+    per-step loss scalars (shape [k]) to the host. Use for throughput
+    measurement and long runs; semantics are step-for-step identical to
+    calling `step_fn` k times.
+    """
+
+    def multi_step(state, images, gt_boxes, gt_valid, image_sizes):
+        def body(st, batch):
+            st, metrics = step_fn(st, *batch)
+            return st, metrics
+
+        return jax.lax.scan(
+            body, state, (images, gt_boxes, gt_valid, image_sizes))
+
+    return multi_step
+
+
 def init_train_state(model_cfg: GLNConfig, cfg: GLNTrainConfig,
                      rng: jax.Array, variables: Optional[Dict] = None,
                      sample_shape: Optional[Tuple[int, ...]] = None):

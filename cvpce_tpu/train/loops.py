@@ -42,12 +42,19 @@ def train_proposal_generator(
     resume: bool = False, use_mesh: bool = True,
     load_torch: Optional[str] = None,
     hyperopt_report=None, seed: int = 0,
+    steps_per_call: int = 1,
 ) -> Dict:
     """GLN training loop (cvpce/proposals_training.py:123-271).
 
     `load_torch`: import a reference torch checkpoint as the starting
     point (the reference's --load path, proposals_training.py:180-189;
     optimizer state starts fresh — torch SGD momentum doesn't map).
+
+    `steps_per_call`: scan this many optimizer steps inside one compiled
+    call (train/gln.py:make_multi_step) — the state stays in HBM between
+    steps and only the per-step loss scalars come back to the host.
+    Logging/explode-guard stay per-step; rotating checkpoints land at
+    call boundaries (at most steps_per_call-1 iterations late).
     """
     from ..eval.proposals import evaluate_gln
 
@@ -69,12 +76,18 @@ def train_proposal_generator(
     state, optimizer = gln_train.init_train_state(
         model_cfg, cfg, jax.random.PRNGKey(seed), variables=variables)
     step_fn = gln_train.make_train_step(model_cfg, cfg, anchors, optimizer)
+    if steps_per_call > 1:
+        step_fn = gln_train.make_multi_step(step_fn)
     if use_mesh and len(jax.devices()) > 1:
         mesh = data_parallel_mesh()
-        step_fn = make_dp_train_step(step_fn, mesh, donate_state=True)
+        step_fn = make_dp_train_step(
+            step_fn, mesh, donate_state=True,
+            batch_axis=1 if steps_per_call > 1 else 0)
         state = put_replicated(state, mesh)
     else:
-        step_fn = jax.jit(step_fn)
+        # donation is a no-op (with a warning) on CPU; only ask on TPU/GPU
+        donate = (0,) if jax.default_backend() != "cpu" else ()
+        step_fn = jax.jit(step_fn, donate_argnums=donate)
 
     manager = CheckpointManager(output_path)
     keeper = BestKeeper(manager, "ap")
@@ -88,22 +101,30 @@ def train_proposal_generator(
             iteration = meta.get("iteration", -1) + 1
             keeper.best = meta.get("best", keeper.best)
 
-    # checkpoint-time sample render (proposals_training.py:91-101)
+    # checkpoint-time sample render (proposals_training.py:91-101);
+    # the inference fn takes variables as an argument so one compilation
+    # serves every checkpoint and epoch eval of this run
     sample = dataset[0] if len(dataset) else None
     infer_fn = None
 
-    def save_sample_pictures(tag: str) -> None:
+    def get_infer_fn():
         nonlocal infer_fn
+        if infer_fn is None:
+            from ..eval.proposals import make_variables_inference_fn
+
+            infer_fn = make_variables_inference_fn(model_cfg)
+        return infer_fn
+
+    def save_sample_pictures(tag: str) -> None:
         if sample is None:
             return
         try:
-            from ..eval.proposals import make_inference_fn
             from ..utils.viz import save_boxes, save_heatmap
 
             variables = {"params": state.params, "frozen": state.frozen,
                          "batch_stats": state.batch_stats}
-            infer_fn = make_inference_fn(variables, model_cfg)
-            res = infer_fn(
+            res = get_infer_fn()(
+                variables,
                 jnp.asarray(sample["image"][None]),
                 jnp.asarray(sample["image_size"][None], jnp.float32))
             keep = np.asarray(res["valid"][0]) \
@@ -119,24 +140,38 @@ def train_proposal_generator(
     losses_log = {"class_loss": [], "reg_loss": [], "gauss_loss": [],
                   "batch_times": []}
     end_epoch = start_epoch + epochs
-    for e in range(start_epoch, end_epoch):
-        loader.set_epoch(e)
-        for batch in loader:
-            t0 = time.time()
+
+    def run_chunk(chunk, epoch):
+        """Execute len(chunk) optimizer steps (one compiled call when
+        steps_per_call > 1) and apply the per-step loop semantics."""
+        nonlocal state, iteration
+        t0 = time.time()
+        if steps_per_call > 1:
+            stacked = [np.stack([b[key] for b in chunk]) for key in
+                       ("images", "boxes", "box_valid", "image_sizes")]
+            state, metrics = step_fn(state, *stacked)
+            per_step = {k: np.asarray(v) for k, v in metrics.items()}
+        else:
+            batch = chunk[0]
             state, metrics = step_fn(
                 state, batch["images"], batch["boxes"],
                 batch["box_valid"], batch["image_sizes"])
-            total = float(metrics["total"])
+            per_step = {k: np.asarray(v)[None] for k, v in metrics.items()}
+        elapsed = (time.time() - t0) / len(chunk)
+        pending_save = False
+        for s in range(len(chunk)):
+            total = float(per_step["total"][s])
             if total > EXPLODED_LOSS:
                 msg = (f"!!! Exploded loss at iteration {iteration}: "
-                       f"{ {k: float(v) for k, v in metrics.items()} }")
+                       f"{ {k: float(v[s]) for k, v in per_step.items()} }")
                 if hyperopt_report is not None:
                     raise RuntimeError(msg)
                 print(msg)
-            elapsed = time.time() - t0
-            losses_log["class_loss"].append(float(metrics["classification"]))
-            losses_log["reg_loss"].append(float(metrics["bbox_regression"]))
-            losses_log["gauss_loss"].append(float(metrics["gaussian"]))
+            losses_log["class_loss"].append(
+                float(per_step["classification"][s]))
+            losses_log["reg_loss"].append(
+                float(per_step["bbox_regression"][s]))
+            losses_log["gauss_loss"].append(float(per_step["gaussian"][s]))
             losses_log["batch_times"].append(elapsed)
             if iteration % 50 == 0:
                 print(f"batch:{iteration:05d}\t{elapsed:.4f}s"
@@ -144,10 +179,24 @@ def train_proposal_generator(
                       f"\treg:{losses_log['reg_loss'][-1]:.4f}"
                       f"\tgauss:{losses_log['gauss_loss'][-1]:.4f}")
             if iteration % checkpoint_interval == 0:
-                save_sample_pictures(f"{iteration:05d}")
-                manager.save_rotating(state, {
-                    "epoch": e, "iteration": iteration, "best": keeper.best})
+                pending_save = True
             iteration += 1
+        if pending_save:
+            save_sample_pictures(f"{iteration - 1:05d}")
+            manager.save_rotating(state, {
+                "epoch": epoch, "iteration": iteration - 1,
+                "best": keeper.best})
+
+    for e in range(start_epoch, end_epoch):
+        loader.set_epoch(e)
+        chunk = []
+        for batch in loader:
+            chunk.append(batch)
+            if len(chunk) == steps_per_call:
+                run_chunk(chunk, e)
+                chunk = []
+        if chunk:
+            run_chunk(chunk, e)
 
         # per-epoch stats dump with delete-older-than-2
         # (proposals_training.py:141-154)
@@ -163,7 +212,8 @@ def train_proposal_generator(
             variables = {"params": state.params, "frozen": state.frozen,
                          "batch_stats": state.batch_stats}
             res = evaluate_gln(variables, evalset, model_cfg,
-                               thresholds=(eval_threshold,))
+                               thresholds=(eval_threshold,),
+                               infer_fn=get_infer_fn())
             stats = res[eval_threshold]
             print(f"epoch {e}: AP {stats['ap']:.4f} AR300 "
                   f"{stats['ar_300']:.4f} F1 {stats['f']:.4f}")

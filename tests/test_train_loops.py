@@ -141,3 +141,77 @@ def test_dihe_training_loop_one_epoch(tmp_path, monkeypatch):
     state = result["state"]
     assert np.isfinite(float(np.asarray(state.step)))
     assert int(np.asarray(state.step)) == 2  # 8 items / (2*batch_size)
+
+
+@pytest.mark.slow
+def test_multi_step_scan_matches_sequential(tmp_path):
+    """make_multi_step(k) must be step-for-step identical to k sequential
+    calls of the underlying step (same losses, same final params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvpce_tpu.train import gln as gln_train
+
+    model_cfg = GLNConfig(canvas_h=64, canvas_w=64, max_nms_candidates=128,
+                          detections_per_img=64)
+    train_cfg = GLNTrainConfig(match_chunk=1024, min_negatives=64,
+                               steps_per_epoch=4)
+    anchors, _ = model_cfg.anchors()
+    state0, optimizer = gln_train.init_train_state(
+        model_cfg, train_cfg, jax.random.PRNGKey(0))
+    step = gln_train.make_train_step(model_cfg, train_cfg, anchors,
+                                     optimizer)
+
+    k, b, t = 3, 1, 6
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (k, b, 64, 64, 3)).astype(np.float32)
+    boxes = np.zeros((k, b, t, 4), np.float32)
+    boxes[..., 2:] = 16.0
+    boxes[..., 1:, :2] = rng.uniform(0, 40, (k, b, t - 1, 2))
+    boxes[..., 2:4] += boxes[..., 0:2]
+    valid = np.ones((k, b, t), bool)
+    sizes = np.full((k, b, 2), 64, np.int32)
+
+    seq_state = state0
+    seq_losses = []
+    jit_step = jax.jit(step)
+    for s in range(k):
+        seq_state, m = jit_step(seq_state, images[s], boxes[s], valid[s],
+                                sizes[s])
+        seq_losses.append(float(m["total"]))
+
+    multi = jax.jit(gln_train.make_multi_step(step))
+    scan_state, metrics = multi(state0, jnp.asarray(images),
+                                jnp.asarray(boxes), jnp.asarray(valid),
+                                jnp.asarray(sizes))
+    scan_losses = np.asarray(metrics["total"])
+
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=1e-5)
+    for pa, pb in zip(jax.tree.leaves(seq_state.params),
+                      jax.tree.leaves(scan_state.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+    assert int(np.asarray(scan_state.step)) == k
+
+
+@pytest.mark.slow
+def test_loop_steps_per_call_chunked(tmp_path):
+    """The loop with steps_per_call>1 logs per-step losses and still
+    writes checkpoints/stats (remainder chunks included: 3 items, k=2)."""
+    from cvpce_tpu.train.loops import train_proposal_generator
+
+    model_cfg = GLNConfig(canvas_h=64, canvas_w=64, max_nms_candidates=128,
+                          detections_per_img=64)
+    train_cfg = GLNTrainConfig(match_chunk=1024, min_negatives=64)
+    dataset = _SyntheticDetectionSet()
+    out = str(tmp_path / "run")
+
+    result = train_proposal_generator(
+        dataset, dataset, out, model_cfg=model_cfg, train_cfg=train_cfg,
+        batch_size=1, epochs=1, checkpoint_interval=2, eval_interval=1,
+        eval_threshold=0.5, use_mesh=False, steps_per_call=2)
+    assert int(np.asarray(result["state"].step)) == 3
+    with open(os.path.join(out, "stats_0.json")) as f:
+        stats = json.load(f)
+    assert len(stats["class_loss"]) == 3  # per-step logging preserved
+    assert "checkpoint" in set(os.listdir(out))
