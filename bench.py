@@ -1,30 +1,81 @@
 """Benchmark: detect+embed images/sec/chip on the flagship pipeline.
 
 Measures the BASELINE.json north-star metric — GLN detection (ResNet-50
-FPN RetinaNet + Gaussian branch, fixed 832x1344 canvas, fixed-shape NMS)
-followed by per-detection crop + MACVGG embedding — end-to-end on device,
-steady state, single chip.
+FPN RetinaNet + Gaussian branch, fixed 832x1344 canvas, full-parity
+fixed-shape NMS) followed by per-detection crop + MACVGG embedding —
+end-to-end on device, steady state, single chip.
+
+Workload realism (VERDICT r1 #6): inputs are deterministic synthetic
+shelf scenes (data/synthetic.py, SKU-110K-like density of ~150-250
+products/image) instead of uniform noise, the random-init classification
+head is bias-calibrated so the score-threshold/NMS stage sees a
+production-like candidate distribution, and the embed crop count is
+driven by the measured per-image detection counts (padded to a static
+bucket) instead of a fixed 128.
 
 `vs_baseline` compares against an estimated reference throughput of 10
-images/sec for the torch CUDA path (RetinaNet-800px inference ~ 15 fps on
-a V100-class GPU minus the reference's host-side crop loop and per-crop
-embedding batches; the reference repo publishes no numbers — BASELINE.md).
+images/sec for the torch CUDA path. That is deliberately GENEROUS to the
+reference: its own embed stage runs VGG16-256 in fp32 through a per-box
+Python crop loop (reference production.py:20), which alone costs ~5
+TFLOP/image — more than 10 img/s worth of fp32 V100 compute. See PERF.md
+for the roofline derivation.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics (calibration, bucket, det counts) go to stderr.
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_IMAGES_PER_SEC = 10.0  # documented estimate, see module docstring
+SCORE_THRESH_LOGIT = float(np.log(0.05 / 0.95))  # GLNConfig.score_thresh
+CROP_BUCKETS = (64, 96, 128, 160, 192, 256, 320, 384, 512)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _find_cls_bias_path(params):
+    """Locate the cls_logits bias leaf in the param tree."""
+    path = []
+
+    def walk(tree, trail):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k == "cls_logits" and isinstance(v, dict) \
+                        and "bias" in v:
+                    path.append(trail + [k, "bias"])
+                else:
+                    walk(v, trail + [k])
+
+    walk(params, [])
+    assert len(path) == 1, f"cls_logits bias not unique: {path}"
+    return path[0]
+
+
+def _shift_cls_bias(variables, shift):
+    import jax
+
+    path = _find_cls_bias_path(variables["params"])
+
+    def apply_shift(tree, keys):
+        if not keys:
+            return tree + shift
+        return {**tree, keys[0]: apply_shift(tree[keys[0]], keys[1:])}
+
+    return {**variables,
+            "params": apply_shift(variables["params"], path)}
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    from cvpce_tpu.data.synthetic import SyntheticShelfDataset
     from cvpce_tpu.models.embedders import MACVGG
     from cvpce_tpu.models.gln import GLN, GLNConfig, postprocess_detections
     from cvpce_tpu.ops.image import crop_resize_square_mxu, scale_to_tanh
@@ -35,35 +86,72 @@ def main():
         config = GLNConfig(canvas_h=256, canvas_w=320,
                            max_nms_candidates=512, detections_per_img=128)
         batch = 1
-        crops_per_image = 32
         embed_chunk = 32
         iters, warmup = 3, 1
+        shelves = (3, 5)
     else:
-        # bf16 conv stacks (MXU-native) + Pallas NMS + approx top-k
+        # bf16 conv stacks (MXU-native) + Pallas NMS + approx top-k;
+        # full-parity NMS candidate budget (5120) stays default
         config = GLNConfig(compute_dtype="bfloat16", use_pallas_nms=True,
                            use_approx_topk=True)
         batch = 4
-        crops_per_image = 128
         embed_chunk = 128  # VGG activations cap HBM; chunk the crops
         iters, warmup = 10, 3
+        shelves = (6, 9)
+
+    scenes = SyntheticShelfDataset(batch, config.canvas_h, config.canvas_w,
+                                   seed=0, min_shelves=shelves[0],
+                                   max_shelves=shelves[1])
+    items = [scenes[i] for i in range(batch)]
+    images = jnp.asarray(np.stack([it["image"] for it in items]))
+    gt_counts = [len(it["boxes"]) for it in items]
+    log(f"shelf scenes: gt boxes/image = {gt_counts}")
 
     rng = jax.random.PRNGKey(0)
     gln = GLN(config=config, train=False)
-    images = jnp.asarray(np.random.default_rng(0).uniform(
-        0, 1, (batch, config.canvas_h, config.canvas_w, 3)).astype(
-            np.float32))
-    gln_vars = gln.init(rng, images)
+    gln_vars = gln.init(rng, images[:1])
     anchors, counts = config.anchors()
     anchors_j = jnp.asarray(anchors)
     sizes = jnp.full((batch, 2), 0, jnp.float32).at[:, 0].set(
         config.canvas_h).at[:, 1].set(config.canvas_w)
 
-    import jax.numpy as jnp_  # embedder in the same compute dtype
+    # --- calibrate the random head so score/NMS behavior is realistic ---
+    # shift the cls bias so ~frac of anchors clear score_thresh, then pick
+    # frac so NMS survivors/image land in the SKU-110K-like 120-400 band
+    raw_logits = np.asarray(gln.apply(gln_vars, images[:1])["cls_logits"])
+
+    @jax.jit
+    def detect(variables, imgs):
+        outputs = gln.apply(variables, imgs)
+        res = postprocess_detections(outputs, anchors_j, counts, sizes,
+                                     config)
+        return res["boxes"], res["scores"], res["valid"]
+
+    det_counts = None
+    for frac in (0.02, 0.04, 0.08):
+        q = float(np.quantile(raw_logits, 1.0 - frac))
+        cal_vars = _shift_cls_bias(gln_vars, SCORE_THRESH_LOGIT - q)
+        _, scores, valid = detect(cal_vars, images)
+        det_counts = np.asarray(
+            (np.asarray(valid) & (np.asarray(scores) > config.score_thresh)
+             ).sum(axis=1))
+        log(f"calibration frac={frac}: det counts = {det_counts.tolist()}")
+        if det_counts.mean() >= 120:
+            break
+    gln_vars = cal_vars
+
+    target = int(min(np.percentile(det_counts, 95),
+                     config.detections_per_img))
+    crops_per_image = next((b for b in CROP_BUCKETS if b >= target),
+                           CROP_BUCKETS[-1])
+    embed_chunk = min(embed_chunk, crops_per_image)
+    log(f"crop bucket: {crops_per_image} (p95 detections {target})")
+
     embedder = MACVGG(batch_norm=True,
-                      dtype=jnp_.bfloat16 if platform != "cpu"
-                      else jnp_.float32)
-    crop_batch = jnp.zeros((crops_per_image, 256, 256, 3), jnp.float32)
-    emb_vars = embedder.init(jax.random.PRNGKey(1), crop_batch)
+                      dtype=jnp.bfloat16 if platform != "cpu"
+                      else jnp.float32)
+    emb_vars = embedder.init(jax.random.PRNGKey(1),
+                             jnp.zeros((8, 256, 256, 3), jnp.float32))
 
     @jax.jit
     def detect_embed(imgs):
@@ -75,7 +163,7 @@ def main():
         crops = jax.vmap(crop_resize_square_mxu)(imgs, top_boxes)
         crops = scale_to_tanh(crops).reshape(
             batch * crops_per_image, 256, 256, 3)
-        # chunk the embed stage to bound peak HBM (f32 VGG activations)
+        # chunk the embed stage to bound peak HBM
         chunked = crops.reshape(-1, embed_chunk, 256, 256, 3)
         embs = jax.lax.map(lambda c: embedder.apply(emb_vars, c), chunked)
         return res["boxes"], res["scores"], embs

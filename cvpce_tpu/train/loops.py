@@ -341,13 +341,15 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
     keeper = BestKeeper(manager, "accuracy")
     rng = np.random.default_rng(seed)
 
-    def encoder_fn_factory():
-        model = MACVGG(batch_norm=cfg.batchnorm, train=False)
+    # variables enter as traced args so one compilation serves every
+    # epoch eval (a closure over `state` would retrace per snapshot)
+    _enc_model = MACVGG(batch_norm=cfg.batchnorm, train=False)
+    _encode = jax.jit(_enc_model.apply)
 
-        @jax.jit
+    def encoder_fn_factory():
         def encode(imgs):
-            return model.apply({"params": state.emb_params,
-                                "batch_stats": state.emb_stats}, imgs)
+            return _encode({"params": state.emb_params,
+                            "batch_stats": state.emb_stats}, imgs)
         return encode
 
     iteration = 0

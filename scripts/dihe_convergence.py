@@ -1,0 +1,195 @@
+"""DIHE convergence smoke on a synthetic hierarchy (VERDICT r1 #4).
+
+Builds a synthetic product taxonomy (categories sharing a base color;
+products within a category differing only in stripe layout — hard for a
+random encoder, learnable for a trained one), pretrains the GAN briefly,
+runs the real 3-player DIHE loop (train/loops.py:train_dihe), and
+measures gallery-kNN top-1 accuracy on domain-shifted query scenes
+before vs after training. Reports: baseline accuracy, trained accuracy,
+chance level.
+
+Run: python scripts/dihe_convergence.py [--epochs 8]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SIZE = 256  # product image side (UNetGenerator default depth is for 256px)
+
+
+def product_image(cat: int, prod: int, rng: np.random.Generator,
+                  jitter: float = 0.0) -> np.ndarray:
+    """[0,1] HWC product texture: category base hue + product-specific
+    stripe layout. `jitter` adds view noise."""
+    base = np.array([0.3 + 0.15 * (cat % 4), 0.35 + 0.12 * ((cat + 1) % 4),
+                     0.4 + 0.1 * ((cat + 2) % 4)], np.float32)
+    img = np.tile(base, (SIZE, SIZE, 1))
+    prng = np.random.default_rng((cat, prod))  # pattern is product-stable
+    n_stripes = 3 + prod % 3
+    for s in range(n_stripes):
+        y = int(prng.uniform(0.1, 0.85) * SIZE)
+        hgt = max(2, int(prng.uniform(0.03, 0.08) * SIZE))
+        color = prng.uniform(0.1, 0.9, 3).astype(np.float32)
+        img[y:y + hgt] = color
+    if jitter > 0:
+        img = img + rng.normal(0, jitter, img.shape).astype(np.float32)
+        img = img * rng.uniform(0.8, 1.2)  # lighting
+    return np.clip(img, 0.0, 1.0)
+
+
+class SyntheticGallery:
+    """(emb_view, gen_view, hierarchy, annotation) in tanh scale —
+    GroceryProductsDataset item semantics."""
+
+    def __init__(self, n_cat, per_cat, views, seed=0):
+        self.keys = [(c, p, v) for c in range(n_cat)
+                     for p in range(per_cat) for v in range(views)]
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, i):
+        c, p, v = self.keys[i]
+        rng = np.random.default_rng((self.seed, i))
+        emb = product_image(c, p, rng, jitter=0.02 if v else 0.0)
+        gen = product_image(c, p, rng, jitter=0.03)
+        hier = [f"Cat{c}", f"Prod{c}_{p}"]
+        return emb * 2 - 1, gen * 2 - 1, hier, f"Prod{c}_{p}"
+
+
+class ShelfCrops:
+    """[0,1] target-domain crops for the discriminator: products over a
+    noisy shelf background (domain-shifted)."""
+
+    def __init__(self, n_cat, per_cat, n, seed=1):
+        self.n = n
+        self.n_cat, self.per_cat = n_cat, per_cat
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng((self.seed, i))
+        c = int(rng.integers(self.n_cat))
+        p = int(rng.integers(self.per_cat))
+        img = product_image(c, p, rng, jitter=0.06)
+        img = 0.8 * img + 0.2 * rng.uniform(0.2, 0.4)  # shelf tint
+        return np.clip(img, 0, 1).astype(np.float32)
+
+
+class QueryScenes:
+    """(img, target_anns, boxes) eval items — one domain-shifted product
+    per scene (eval_dihe protocol)."""
+
+    def __init__(self, n_cat, per_cat, seed=2):
+        self.keys = [(c, p) for c in range(n_cat) for p in range(per_cat)]
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, i):
+        c, p = self.keys[i]
+        rng = np.random.default_rng((self.seed, i))
+        scene = np.full((SIZE * 2, SIZE * 2, 3),
+                        rng.uniform(0.2, 0.4), np.float32)
+        scene += rng.normal(0, 0.03, scene.shape).astype(np.float32)
+        prod = product_image(c, p, rng, jitter=0.05)
+        x0, y0 = int(rng.integers(0, SIZE)), int(rng.integers(0, SIZE))
+        scene[y0:y0 + SIZE, x0:x0 + SIZE] = prod
+        scene = np.clip(scene, 0, 1)
+        return scene, [f"Prod{c}_{p}"], np.asarray(
+            [[x0, y0, x0 + SIZE, y0 + SIZE]], np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-cat", type=int, default=4)
+    ap.add_argument("--per-cat", type=int, default=6)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--gan-steps", type=int, default=60)
+    ap.add_argument("--enc-lr", type=float, default=3e-5)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/dihe_convergence")
+    args = ap.parse_args()
+
+    import jax
+
+    from cvpce_tpu.eval.classification import eval_dihe
+    from cvpce_tpu.models.embedders import MACVGG
+    from cvpce_tpu.train.dihe import DIHETrainConfig
+    from cvpce_tpu.train.loops import pretrain_gan, train_dihe
+
+    n_products = args.n_cat * args.per_cat
+    gallery = SyntheticGallery(args.n_cat, args.per_cat, args.views)
+    gallery_eval = SyntheticGallery(args.n_cat, args.per_cat, 1, seed=9)
+    discset = ShelfCrops(args.n_cat, args.per_cat, 128)
+    queries = QueryScenes(args.n_cat, args.per_cat)
+
+    cfg = DIHETrainConfig(enc_lr=args.enc_lr)
+
+    # --- baseline: untrained (random-init) encoder ---
+    model = MACVGG(batch_norm=cfg.batchnorm, train=False)
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+    variables = model.init(rng, jnp.zeros((1, 256, 256, 3)))
+    encode = jax.jit(model.apply)
+
+    def enc_fn(imgs):
+        return encode(variables, imgs)
+
+    base_acc = eval_dihe(enc_fn, 1024, gallery_eval, queries,
+                         batch_size=args.batch_size, k=(1,), verbose=False)
+    print(json.dumps({"baseline_top1": round(base_acc[1], 4),
+                      "chance": round(1.0 / n_products, 4)}), flush=True)
+
+    # --- GAN pretrain (generator learns shelf-domain translation) ---
+    t0 = time.time()
+    gan_epochs = max(1, args.gan_steps
+                     // max(1, len(gallery) // args.batch_size))
+    gan_result = pretrain_gan(gallery, discset, args.out,
+                              epochs=gan_epochs,
+                              batch_size=args.batch_size)
+    print(json.dumps({"gan_pretrain_wall": round(time.time() - t0, 1)}),
+          flush=True)
+
+    gs = gan_result["state"]
+    gan_state = {k: gs[k] for k in
+                 ("gen_params", "gen_stats", "disc_params", "disc_stats")}
+
+    # --- DIHE 3-player training ---
+    t0 = time.time()
+    result = train_dihe(gallery, discset, gallery_eval, queries, args.out,
+                        gan_state=gan_state, epochs=args.epochs,
+                        batch_size=args.batch_size, checkpoint_interval=500,
+                        eval_interval=2, train_cfg=cfg, use_mesh=False)
+    state = result["state"]
+
+    def trained_fn(imgs):
+        return encode({"params": state.emb_params,
+                       "batch_stats": state.emb_stats}, imgs)
+
+    acc = eval_dihe(trained_fn, 1024, gallery_eval, queries,
+                    batch_size=args.batch_size, k=(1,), verbose=False)
+    summary = {
+        "trained_top1": round(acc[1], 4),
+        "baseline_top1": round(base_acc[1], 4),
+        "chance": round(1.0 / n_products, 4),
+        "improved": bool(acc[1] > base_acc[1]),
+        "above_chance": bool(acc[1] > 2.0 / n_products),
+        "train_wall": round(time.time() - t0, 1),
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

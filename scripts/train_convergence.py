@@ -2,9 +2,11 @@
 
 Trains GLN from random init on deterministic synthetic shelf scenes
 (data/synthetic.py) through the real training loop
-(train/loops.py:train_proposal_generator, compiled 25-step scan chunks),
-evaluating AP@0.5 on a held-out split each epoch. Proves on real TPU:
-loss decreases, AP goes ~0 -> >0.5, and reports train images/sec.
+(train/loops.py:train_proposal_generator, compiled 25-step scan chunks)
+in ONE loop invocation (one train-step compile), evaluating AP@0.5 on a
+held-out split each epoch via the shared inference compilation. Proves on
+real TPU: loss decreases, AP goes ~0 -> >0.5, and reports train
+images/sec (steady-state median, excluding compile chunks).
 
 Run: python scripts/train_convergence.py [--canvas 256 320] [--epochs 30]
 Prints JSON lines; final line has the summary.
@@ -18,6 +20,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class TargetReached(Exception):
+    pass
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--canvas", nargs=2, type=int, default=(256, 320))
@@ -29,8 +35,6 @@ def main():
     ap.add_argument("--lr", type=float, default=0.0025)
     ap.add_argument("--out", default="/tmp/convergence_run")
     ap.add_argument("--target-ap", type=float, default=0.8)
-    ap.add_argument("--trace", default=None,
-                    help="write a jax profiler trace of 2 chunks here")
     args = ap.parse_args()
 
     import jax
@@ -62,82 +66,79 @@ def main():
                                     max_shelves=shelves[1])
 
     ap_history = []
-    loss_history = []
 
     def report(**stats):
-        """hyperopt_report hook — fires after each epoch eval."""
+        """hyperopt_report hook — fires after each epoch eval; raises to
+        early-stop the single loop invocation once the target is hit."""
         ap_history.append(stats["average_precision"])
         print(json.dumps({"epoch": len(ap_history) - 1,
                           "ap": round(stats["average_precision"], 4),
-                          "ar300": round(stats.get("ar_300", 0.0), 4)}),
-              flush=True)
+                          "ar300": round(stats.get("ar_300", 0.0), 4),
+                          "wall": round(time.time() - t0, 1)}), flush=True)
+        if stats["average_precision"] >= args.target_ap:
+            raise TargetReached
 
     t0 = time.time()
-    epochs_run = 0
-    result = None
-    for e in range(args.epochs):
-        # checkpoint_interval == steps_per_call makes the rotating
-        # checkpoint land exactly at end-of-epoch, so resume=True on the
-        # next call continues from the true final state
-        result = train_proposal_generator(
+    try:
+        train_proposal_generator(
             trainset, evalset, args.out, model_cfg=model_cfg,
-            train_cfg=train_cfg, batch_size=args.batch_size, epochs=1,
-            checkpoint_interval=args.steps_per_call, eval_interval=1,
-            eval_threshold=0.5,
-            use_mesh=False, steps_per_call=args.steps_per_call,
-            hyperopt_report=report, resume=e > 0, seed=0)
-        epochs_run += 1
-        stats_file = os.path.join(args.out, f"stats_{e}.json")
-        if os.path.exists(stats_file):
-            with open(stats_file) as f:
-                s = json.load(f)
-            mean_loss = float(np.mean(
-                np.asarray(s["class_loss"]) + np.asarray(s["reg_loss"])
-                + np.asarray(s["gauss_loss"])))
-            bt = np.asarray(s["batch_times"])
-            loss_history.append(mean_loss)
-            print(json.dumps({
-                "epoch_wall": round(time.time() - t0, 1),
-                "mean_loss": round(mean_loss, 4),
-                "imgs_per_sec": round(
-                    args.batch_size / float(np.median(bt)), 1)}), flush=True)
-        if ap_history and ap_history[-1] >= args.target_ap:
-            break
+            train_cfg=train_cfg, batch_size=args.batch_size,
+            epochs=args.epochs, checkpoint_interval=args.steps_per_call,
+            eval_interval=1, eval_threshold=0.5, use_mesh=False,
+            steps_per_call=args.steps_per_call, hyperopt_report=report,
+            seed=0)
+    except TargetReached:
+        print(json.dumps({"early_stop": True}), flush=True)
 
-    if args.trace and result is not None:
-        try:
-            from cvpce_tpu.utils.profiling import trace
+    # final state = the rotating checkpoint (checkpoint_interval ==
+    # steps_per_call puts it at the last chunk boundary)
+    from cvpce_tpu.train.checkpoint import CheckpointManager
+    from cvpce_tpu.train.gln import init_train_state
 
-            with trace(args.trace):
-                train_proposal_generator(
-                    SyntheticShelfDataset(2 * args.steps_per_call
-                                          * args.batch_size, h, w, seed=7,
-                                          min_shelves=shelves[0],
-                                          max_shelves=shelves[1]),
-                    evalset, args.out, model_cfg=model_cfg,
-                    train_cfg=train_cfg, batch_size=args.batch_size,
-                    epochs=1, checkpoint_interval=10_000, eval_interval=99,
-                    use_mesh=False, steps_per_call=args.steps_per_call,
-                    resume=True, seed=7)
-            print(json.dumps({"trace": args.trace}), flush=True)
-        except Exception as exc:  # noqa: BLE001 — trace is best-effort
-            print(json.dumps({"trace_error": str(exc)[-300:]}), flush=True)
+    state, _ = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
+    manager = CheckpointManager(args.out)
+    state = manager.restore(state)
 
-    state = result["state"]
+    # loss trajectory from the per-epoch stats dumps (latest two kept)
+    losses = {}
+    for e in range(args.epochs):
+        f = os.path.join(args.out, f"stats_{e}.json")
+        if os.path.exists(f):
+            with open(f) as fh:
+                s = json.load(fh)
+            losses[e] = s
+
     final = evaluate_gln(
         {"params": state.params, "frozen": state.frozen,
          "batch_stats": state.batch_stats},
         evalset, model_cfg, thresholds=(0.5,), batch_size=args.batch_size)
     stats = final[0.5]
+
+    # steady-state step time: median over the last epoch's chunks
+    last_e = max(losses) if losses else None
+    imgs_per_sec = None
+    if last_e is not None:
+        bt = np.asarray(losses[last_e]["batch_times"])
+        imgs_per_sec = round(args.batch_size / float(np.median(bt)), 1)
+        first_e = min(losses)
+        mean_first = float(np.mean(
+            np.asarray(losses[first_e]["class_loss"])
+            + np.asarray(losses[first_e]["reg_loss"])
+            + np.asarray(losses[first_e]["gauss_loss"])))
+        mean_last = float(np.mean(
+            np.asarray(losses[last_e]["class_loss"])
+            + np.asarray(losses[last_e]["reg_loss"])
+            + np.asarray(losses[last_e]["gauss_loss"])))
     summary = {
         "final_ap": round(float(stats["ap"]), 4),
         "final_ar300": round(float(stats["ar_300"]), 4),
-        "epochs": epochs_run,
-        "loss_first_epoch": round(loss_history[0], 4) if loss_history
-        else None,
-        "loss_last_epoch": round(loss_history[-1], 4) if loss_history
-        else None,
+        "epochs": len(ap_history),
         "ap_history": [round(a, 4) for a in ap_history],
+        "train_imgs_per_sec_steady": imgs_per_sec,
+        "mean_loss_epoch_first_kept": round(mean_first, 4)
+        if last_e is not None else None,
+        "mean_loss_epoch_last": round(mean_last, 4)
+        if last_e is not None else None,
         "wall_sec": round(time.time() - t0, 1),
         "converged": bool(stats["ap"] > 0.5),
     }
