@@ -95,7 +95,8 @@ def main():
         config = GLNConfig(compute_dtype="bfloat16", use_pallas_nms=True,
                            use_approx_topk=True)
         batch = 4
-        embed_chunk = 128  # VGG activations cap HBM; chunk the crops
+        embed_chunk = 256  # measured best chunk (profile_r2: 137.5 ms vs
+        # 144.2 at 128 for 512 crops); VGG activations still fit HBM
         iters, warmup = 10, 3
         shelves = (6, 9)
 
@@ -144,7 +145,10 @@ def main():
                      config.detections_per_img))
     crops_per_image = next((b for b in CROP_BUCKETS if b >= target),
                            CROP_BUCKETS[-1])
-    embed_chunk = min(embed_chunk, crops_per_image)
+    total_crops = batch * crops_per_image
+    embed_chunk = min(embed_chunk, total_crops)
+    while total_crops % embed_chunk:
+        embed_chunk //= 2
     log(f"crop bucket: {crops_per_image} (p95 detections {target})")
 
     embedder = MACVGG(batch_norm=True,
