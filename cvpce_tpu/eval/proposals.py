@@ -35,23 +35,35 @@ def make_inference_fn(variables: Dict, config: GLNConfig) -> Callable:
     return infer
 
 
-def make_variables_inference_fn(config: GLNConfig) -> Callable:
+def make_variables_inference_fn(config: GLNConfig, mesh=None) -> Callable:
     """Like make_inference_fn but with `variables` as a traced argument:
     (variables, images, image_sizes) -> detections. One compilation serves
     every checkpoint of a training run (the closure version retraces per
-    weight snapshot — expensive where remote compile is slow)."""
+    weight snapshot — expensive where remote compile is slow).
+
+    `mesh`: a jax.sharding.Mesh for data-parallel batch inference —
+    variables replicate, the image batch shards on the mesh's first axis,
+    and each chip postprocesses its shard (NMS is per-image, so sharding
+    is exact). The reference's eval is strictly single-GPU
+    (cvpce/proposals_eval.py); this is the pod-scale path.
+    """
     anchors, counts = config.anchors()
     model = GLN(config=config, train=False)
     anchors_j = jnp.asarray(anchors)
 
-    @jax.jit
     def infer(variables: Dict, images: Array,
               image_sizes: Array) -> Dict[str, Array]:
         outputs = model.apply(variables, images)
         return postprocess_detections(outputs, anchors_j, counts,
                                       image_sizes, config)
 
-    return infer
+    if mesh is None:
+        return jax.jit(infer)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.jit(infer, in_shardings=(repl, data, data))
 
 
 class DetectionEvalAdapter:
@@ -88,7 +100,8 @@ def evaluate_gln(variables: Dict, dataset, config: GLNConfig,
                  verbose: bool = False,
                  plot_out: str | None = None,
                  return_detections: bool = False,
-                 infer_fn: Callable | None = None) -> Dict:
+                 infer_fn: Callable | None = None,
+                 mesh=None) -> Dict:
     """Run detection over `dataset` (items with image/boxes/image_size/scale
     fields, e.g. data.SKU110KDataset with flip_chance=0) and compute the
     reference metric suite (AP, AR@300, max-F1 P/R/C) per IoU threshold.
@@ -96,6 +109,12 @@ def evaluate_gln(variables: Dict, dataset, config: GLNConfig,
     Detections are mapped back to original image coordinates before
     matching, mirroring torchvision's postprocess rescale.
     """
+    if infer_fn is None and mesh is not None:
+        # DP batch inference: batch_size must divide over the mesh
+        assert batch_size % mesh.devices.size == 0, (
+            f"batch_size {batch_size} not divisible over "
+            f"{mesh.devices.size} devices")
+        infer_fn = make_variables_inference_fn(config, mesh)
     if infer_fn is not None:
         # pre-compiled (variables, images, sizes) fn shared across calls
         def infer(images, sizes):

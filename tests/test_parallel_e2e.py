@@ -269,3 +269,31 @@ class TestRealPipelineIntegration:
                  "labels": ["p0"]}
         score = evaluator.evaluate(image, plano)
         assert 0.0 <= score <= 1.0
+
+
+@pytest.mark.slow
+def test_sharded_eval_matches_single_device():
+    """evaluate_gln over a DP mesh must produce identical metrics to the
+    single-device path (NMS is per-image; sharding the batch is exact)."""
+    from cvpce_tpu.data.synthetic import SyntheticShelfDataset
+    from cvpce_tpu.eval.proposals import evaluate_gln
+    from cvpce_tpu.models.gln import GLN
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device")
+    config = GLNConfig(canvas_h=64, canvas_w=64, max_nms_candidates=128,
+                       detections_per_img=64)
+    model = GLN(config=config, train=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 3), np.float32))
+    dataset = SyntheticShelfDataset(8, 64, 64, seed=3, min_shelves=2,
+                                    max_shelves=3)
+
+    single = evaluate_gln(variables, dataset, config, thresholds=(0.5,),
+                          batch_size=4, score_min=0.0)[0.5]
+    mesh = data_parallel_mesh(jax.devices()[:4])
+    sharded = evaluate_gln(variables, dataset, config, thresholds=(0.5,),
+                           batch_size=4, score_min=0.0, mesh=mesh)[0.5]
+    for key in ("ap", "ar_300", "f", "p", "r"):
+        assert float(sharded[key]) == pytest.approx(float(single[key]),
+                                                    abs=1e-6), key
