@@ -152,6 +152,7 @@ class MACResNet(nn.Module):
     descriptor_stages: Sequence[str] = ("c3", "c4")
     train: bool = False
     eps: float = 1e-8
+    dtype: Any = jnp.float32
 
     @property
     def embedding_size(self) -> int:
@@ -160,8 +161,10 @@ class MACResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        feats = ResNet50(norm="batch", train=self.train, name="trunk")(x)
-        descs = [jnp.max(feats[s], axis=(1, 2)) for s in self.descriptor_stages]
+        feats = ResNet50(norm="batch", train=self.train, dtype=self.dtype,
+                         name="trunk")(x)
+        descs = [jnp.max(feats[s], axis=(1, 2)).astype(jnp.float32)
+                 for s in self.descriptor_stages]
         desc = jnp.concatenate(descs, axis=1)
         norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
         return desc / jnp.maximum(norm, self.eps)

@@ -2,8 +2,10 @@
 
 full_scalar profiling (profile_r2.py) showed the GLN forward is 33ms at
 batch 4 (~21% MXU) — not "a few ms" as round 1 assumed. This isolates
-backbone / FPN / heads / gaussian branch, and tries variations:
-larger batch, head-dtype, and gaussian-branch exclusion.
+backbone / FPN+heads / gaussian branch and tries batch scaling.
+
+Variables are passed as jit ARGUMENTS (closure-captured device arrays
+become MLIR constants, which the axon tunnel fails to materialize).
 """
 import json
 import os
@@ -47,12 +49,12 @@ def guard(f):
         try:
             return f(*a, **k)
         except Exception:
-            report(f.__name__, error=traceback.format_exc()[-600:])
+            report(f.__name__, error=traceback.format_exc()[-500:])
     return wrapped
 
 
 @guard
-def main():
+def run_batch(batch):
     from cvpce_tpu.models.fpn import FPN
     from cvpce_tpu.models.gln import (GLN, GLNConfig, GaussianBranch,
                                       RetinaNetHead)
@@ -61,77 +63,80 @@ def main():
     config = GLNConfig(compute_dtype="bfloat16")
     dt = jnp.bfloat16
     rng = jax.random.PRNGKey(0)
+    images = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (batch, config.canvas_h, config.canvas_w, 3)
+    ).astype(np.float32))
 
-    for batch in (4, 8):
-        images = jnp.asarray(np.random.default_rng(0).uniform(
-            0, 1, (batch, config.canvas_h, config.canvas_w, 3)
-        ).astype(np.float32))
+    gln = GLN(config=config, train=False)
+    gvars = gln.init(rng, images[:1])
 
-        gln = GLN(config=config, train=False)
-        gvars = gln.init(rng, images[:1])
+    @jax.jit
+    def full(v, imgs):
+        out = gln.apply(v, imgs)
+        return sum(jnp.sum(o) for o in jax.tree.leaves(out))
 
-        @jax.jit
-        def full(imgs):
-            out = gln.apply(gvars, imgs)
-            return sum(jnp.sum(o) for o in jax.tree.leaves(out))
+    t = timeit(full, (gvars, images))
+    report(f"gln_fwd_b{batch}", t, batch=batch)
 
-        t = timeit(full, (images,))
-        report(f"gln_fwd_b{batch}", t, batch=batch)
+    body = ResNet50(norm="frozen", dtype=dt)
+    bvars = body.init(rng, images[:1])
 
-        # backbone only
-        body = ResNet50(norm="frozen", dtype=dt)
-        bvars = body.init(rng, images[:1])
+    @jax.jit
+    def backbone(v, imgs):
+        f = body.apply(v, imgs)
+        return sum(jnp.sum(x) for x in f.values())
 
-        @jax.jit
-        def backbone(imgs):
-            f = body.apply(bvars, imgs)
-            return sum(jnp.sum(v) for v in f.values())
+    t = timeit(backbone, (bvars, images))
+    report(f"backbone_b{batch}", t, batch=batch)
 
-        t = timeit(backbone, (images,))
-        report(f"backbone_b{batch}", t, batch=batch)
+    fpn = FPN(dtype=dt)
+    head = RetinaNetHead(num_classes=1, dtype=dt)
+    c = body.apply(bvars, images[:1])
+    fpn_v = fpn.init(rng, c["c3"], c["c4"], c["c5"])
+    pyr1 = fpn.apply(fpn_v, c["c3"], c["c4"], c["c5"])
+    head_v = head.init(rng, pyr1)
 
-        # backbone + fpn + heads (no gaussian branch)
-        fpn = FPN(dtype=dt)
-        head = RetinaNetHead(num_classes=1, dtype=dt)
+    @jax.jit
+    def no_gauss(bv, fv, hv, imgs):
+        cc = body.apply(bv, imgs)
+        pyr = fpn.apply(fv, cc["c3"], cc["c4"], cc["c5"])
+        logits, regs = head.apply(hv, pyr)
+        return jnp.sum(logits) + jnp.sum(regs)
 
-        def fwd_no_gauss_init():
-            feats = body.init(rng, images[:1])
-            c = body.apply(feats, images[:1])
-            fv = fpn.init(rng, c["c3"], c["c4"], c["c5"])
-            pyr = fpn.apply(fv, c["c3"], c["c4"], c["c5"])
-            hv = head.init(rng, pyr)
-            return feats, fv, hv
+    t = timeit(no_gauss, (bvars, fpn_v, head_v, images))
+    report(f"no_gauss_b{batch}", t, batch=batch)
 
-        feats_v, fpn_v, head_v = fwd_no_gauss_init()
+    gb = GaussianBranch(dtype=dt)
+    c2 = jnp.zeros((batch, config.canvas_h // 4, config.canvas_w // 4,
+                    256), jnp.float32)
+    p3 = jnp.zeros((batch, config.canvas_h // 8, config.canvas_w // 8,
+                    256), jnp.float32)
+    gbv = gb.init(rng, c2[:1], p3[:1])
 
-        @jax.jit
-        def no_gauss(imgs):
-            c = body.apply(feats_v, imgs)
-            pyr = fpn.apply(fpn_v, c["c3"], c["c4"], c["c5"])
-            logits, regs = head.apply(head_v, pyr)
-            return jnp.sum(logits) + jnp.sum(regs)
+    @jax.jit
+    def gauss_only(v, c2, p3):
+        return jnp.sum(gb.apply(v, c2, p3))
 
-        t = timeit(no_gauss, (images,))
-        report(f"no_gauss_b{batch}", t, batch=batch)
+    t = timeit(gauss_only, (gbv, c2, p3))
+    report(f"gauss_branch_b{batch}", t, batch=batch)
 
-        # gaussian branch alone (on realistic c2/p3 shapes)
-        gb = GaussianBranch(dtype=dt)
-        c2 = jnp.zeros((batch, config.canvas_h // 4, config.canvas_w // 4,
-                        256), jnp.float32)
-        p3 = jnp.zeros((batch, config.canvas_h // 8, config.canvas_w // 8,
-                        256), jnp.float32)
-        gbv = gb.init(rng, c2[:1], p3[:1])
+    # heads alone on the real pyramid shapes (P6/P7 use ceil halving)
+    shapes = [(104, 168), (52, 84), (26, 42), (13, 21), (7, 11)]
+    pyr = [jnp.zeros((batch, hh, ww, 256), jnp.float32)
+           for hh, ww in shapes]
 
-        @jax.jit
-        def gauss_only(c2, p3):
-            return jnp.sum(gb.apply(gbv, c2, p3))
+    @jax.jit
+    def heads_only(v, *p):
+        logits, regs = head.apply(v, list(p))
+        return jnp.sum(logits) + jnp.sum(regs)
 
-        t = timeit(gauss_only, (c2, p3))
-        report(f"gauss_branch_b{batch}", t, batch=batch)
+    t = timeit(heads_only, (head_v, *pyr))
+    report(f"heads_only_b{batch}", t, batch=batch)
 
 
 if __name__ == "__main__":
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}),
           flush=True)
-    main()
+    run_batch(4)
+    run_batch(8)
     print(json.dumps({"name": "DONE"}), flush=True)
