@@ -83,7 +83,9 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
     throughput on v5e at small embedding-fidelity cost).
     """
     if encoder == "resnet50":
-        return _load_macresnet(weights)
+        # the int8 flag maps to bf16 for the resnet trunk (int8 conv path
+        # is VGG-specific; bf16 is the resnet fast mode)
+        return _load_macresnet(weights, bf16=int8)
     dtype = jnp.bfloat16 if int8 else jnp.float32
     model = MACVGG(batch_norm=batch_norm, train=False, int8=int8,
                    dtype=dtype)
@@ -122,10 +124,11 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
     return encode, model.embedding_size
 
 
-def _load_macresnet(weights: Optional[str]):
+def _load_macresnet(weights: Optional[str], bf16: bool = False):
     from ..models.embedders import MACResNet
 
-    model = MACResNet(train=False)
+    model = MACResNet(train=False,
+                      dtype=jnp.bfloat16 if bf16 else jnp.float32)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32))
     if weights is not None:

@@ -25,21 +25,27 @@ SIZE = 256  # product image side (UNetGenerator default depth is for 256px)
 
 def product_image(cat: int, prod: int, rng: np.random.Generator,
                   jitter: float = 0.0) -> np.ndarray:
-    """[0,1] HWC product texture: category base hue + product-specific
-    stripe layout. `jitter` adds view noise."""
-    base = np.array([0.3 + 0.15 * (cat % 4), 0.35 + 0.12 * ((cat + 1) % 4),
-                     0.4 + 0.1 * ((cat + 2) % 4)], np.float32)
+    """[0,1] HWC product texture — deliberately FINE-GRAINED: every
+    product shares the same grayish base and the same two stripe tones;
+    only stripe positions/widths (product id) and a faint category tint
+    distinguish them. A random encoder should be near chance; the query
+    domain shift (heavy noise + lighting + blur, see `jitter`) is what
+    DIHE's generator is for."""
+    base = np.full(3, 0.5, np.float32)
+    base[cat % 3] += 0.03  # faint category tint
     img = np.tile(base, (SIZE, SIZE, 1))
     prng = np.random.default_rng((cat, prod))  # pattern is product-stable
-    n_stripes = 3 + prod % 3
+    n_stripes = 4
     for s in range(n_stripes):
-        y = int(prng.uniform(0.1, 0.85) * SIZE)
-        hgt = max(2, int(prng.uniform(0.03, 0.08) * SIZE))
-        color = prng.uniform(0.1, 0.9, 3).astype(np.float32)
-        img[y:y + hgt] = color
+        y = int(prng.uniform(0.05, 0.9) * SIZE)
+        hgt = max(2, int(prng.uniform(0.02, 0.1) * SIZE))
+        tone = 0.3 if prng.random() < 0.5 else 0.7  # two shared tones
+        img[y:y + hgt] = tone
     if jitter > 0:
+        img = img * rng.uniform(0.5, 1.5)  # lighting
         img = img + rng.normal(0, jitter, img.shape).astype(np.float32)
-        img = img * rng.uniform(0.8, 1.2)  # lighting
+        # cheap blur: average with a 1-px roll in both axes
+        img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3.0
     return np.clip(img, 0.0, 1.0)
 
 
@@ -80,7 +86,7 @@ class ShelfCrops:
         rng = np.random.default_rng((self.seed, i))
         c = int(rng.integers(self.n_cat))
         p = int(rng.integers(self.per_cat))
-        img = product_image(c, p, rng, jitter=0.06)
+        img = product_image(c, p, rng, jitter=0.12)
         img = 0.8 * img + 0.2 * rng.uniform(0.2, 0.4)  # shelf tint
         return np.clip(img, 0, 1).astype(np.float32)
 
@@ -102,7 +108,7 @@ class QueryScenes:
         scene = np.full((SIZE * 2, SIZE * 2, 3),
                         rng.uniform(0.2, 0.4), np.float32)
         scene += rng.normal(0, 0.03, scene.shape).astype(np.float32)
-        prod = product_image(c, p, rng, jitter=0.05)
+        prod = product_image(c, p, rng, jitter=0.15)
         x0, y0 = int(rng.integers(0, SIZE)), int(rng.integers(0, SIZE))
         scene[y0:y0 + SIZE, x0:x0 + SIZE] = prod
         scene = np.clip(scene, 0, 1)
