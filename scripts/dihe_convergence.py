@@ -155,6 +155,32 @@ def triplet_accuracy(enc_fn, n_cat, per_cat, batch_size, n_triplets=96,
     return float((d_pos < d_neg).mean())
 
 
+def warm_batch_stats(model_train, params, stats, gallery, batch_size,
+                     n_batches=40, seed=7):
+    """Settle BN running statistics on clean gallery images before
+    eval-mode inference. From-scratch runs start from the (0, 1) init and
+    the 3-player step's stats see GAN outputs; with momentum 0.9 a few
+    dozen clean forward passes converge them (standard BN warmup —
+    the reference avoids the issue only because it fine-tunes ImageNet
+    weights whose running stats are already settled)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(stats, batch):
+        _, mut = model_train.apply(
+            {"params": params, "batch_stats": stats}, batch,
+            mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    rng = np.random.default_rng(seed)
+    for _ in range(n_batches):
+        idx = rng.integers(0, len(gallery), batch_size)
+        batch = np.stack([gallery[int(i)][0] for i in idx])
+        stats = step(stats, jnp.asarray(batch))
+    return stats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-cat", type=int, default=4)
@@ -165,6 +191,9 @@ def main():
     ap.add_argument("--enc-lr", type=float, default=2e-6)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--out", default="/tmp/dihe_convergence")
+    ap.add_argument("--reuse-gan", action="store_true",
+                    help="restore gan_checkpoint from --out instead of "
+                    "pretraining again")
     args = ap.parse_args()
 
     import jax
@@ -188,9 +217,14 @@ def main():
     import jax.numpy as jnp
     variables = model.init(rng, jnp.zeros((1, 256, 256, 3)))
     encode = jax.jit(model.apply)
+    model_train = MACVGG(batch_norm=cfg.batchnorm, train=True)
+    base_stats = warm_batch_stats(model_train, variables["params"],
+                                  variables["batch_stats"], gallery,
+                                  args.batch_size)
 
     def enc_fn(imgs):
-        return encode(variables, imgs)
+        return encode({"params": variables["params"],
+                       "batch_stats": base_stats}, imgs)
 
     base_acc = eval_dihe(enc_fn, 1024, gallery_eval, queries,
                          batch_size=args.batch_size, k=(1,), verbose=False)
@@ -202,13 +236,24 @@ def main():
 
     # --- GAN pretrain (generator learns shelf-domain translation) ---
     t0 = time.time()
-    gan_epochs = max(1, args.gan_steps
-                     // max(1, len(gallery) // args.batch_size))
-    gan_result = pretrain_gan(gallery, discset, args.out,
-                              epochs=gan_epochs,
-                              batch_size=args.batch_size)
-    print(json.dumps({"gan_pretrain_wall": round(time.time() - t0, 1)}),
-          flush=True)
+    if args.reuse_gan:
+        from cvpce_tpu.train.checkpoint import CheckpointManager
+        from cvpce_tpu.train.dihe import (GANPretrainConfig,
+                                          make_gan_pretrain_step)
+
+        init, _ = make_gan_pretrain_step(GANPretrainConfig())
+        template = init(jax.random.PRNGKey(0), gen_channels=3)
+        manager = CheckpointManager(args.out, name="gan_checkpoint")
+        gan_result = {"state": manager.restore(template)}
+        print(json.dumps({"gan_reused": True}), flush=True)
+    else:
+        gan_epochs = max(1, args.gan_steps
+                         // max(1, len(gallery) // args.batch_size))
+        gan_result = pretrain_gan(gallery, discset, args.out,
+                                  epochs=gan_epochs,
+                                  batch_size=args.batch_size)
+        print(json.dumps({"gan_pretrain_wall":
+                          round(time.time() - t0, 1)}), flush=True)
 
     gs = gan_result["state"]
     gan_state = {k: gs[k] for k in
@@ -221,10 +266,13 @@ def main():
                         batch_size=args.batch_size, checkpoint_interval=500,
                         eval_interval=2, train_cfg=cfg, use_mesh=False)
     state = result["state"]
+    trained_stats = warm_batch_stats(model_train, state.emb_params,
+                                     state.emb_stats, gallery,
+                                     args.batch_size)
 
     def trained_fn(imgs):
         return encode({"params": state.emb_params,
-                       "batch_stats": state.emb_stats}, imgs)
+                       "batch_stats": trained_stats}, imgs)
 
     acc = eval_dihe(trained_fn, 1024, gallery_eval, queries,
                     batch_size=args.batch_size, k=(1,), verbose=False)
