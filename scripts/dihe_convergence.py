@@ -181,6 +181,99 @@ def warm_batch_stats(model_train, params, stats, gallery, batch_size,
     return stats
 
 
+def pure_triplet_main(args):
+    """Supervised triplet sanity run: anchor = domain-shifted view,
+    pos/neg = clean gallery views, hierarchical adaptive margin
+    (ops/losses.py:hierarchical_triplet_loss), Adam. No GAN — isolates
+    "can the encoder + triplet objective learn this hierarchy at all"."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cvpce_tpu.models.embedders import MACVGG
+    from cvpce_tpu.ops.losses import hierarchical_triplet_loss
+    from cvpce_tpu.train.dihe import hierarchy_similarity
+
+    model_t = MACVGG(batch_norm=True, train=True)
+    model_e = MACVGG(batch_norm=True, train=False)
+    rng = jax.random.PRNGKey(0)
+    variables = model_t.init(rng, jnp.zeros((2, 256, 256, 3)))
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(args.enc_lr)
+    opt = tx.init(params)
+    encode = jax.jit(model_e.apply)
+    gallery = SyntheticGallery(args.n_cat, args.per_cat, args.views)
+
+    def enc_with(params_, stats_):
+        warmed = warm_batch_stats(model_t, params_, stats_, gallery,
+                                  args.batch_size)
+
+        def f(imgs):
+            return encode({"params": params_, "batch_stats": warmed}, imgs)
+        return f
+
+    base_trip = triplet_accuracy(enc_with(params, stats), args.n_cat,
+                                 args.per_cat, args.batch_size)
+    print(json.dumps({"baseline_triplet_acc": round(base_trip, 4)}),
+          flush=True)
+
+    b = args.batch_size
+
+    @jax.jit
+    def step(params, stats, opt, anchors, pos, neg, sim):
+        def loss_fn(p):
+            x = jnp.concatenate([anchors, pos, neg])
+            emb, mut = model_t.apply(
+                {"params": p, "batch_stats": stats}, x,
+                mutable=["batch_stats"])
+            ea, ep, en = emb[:b], emb[b:2 * b], emb[2 * b:]
+            return hierarchical_triplet_loss(ea, ep, en, sim),                 mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt,             loss
+
+    rng_np = np.random.default_rng(0)
+    t0 = time.time()
+    for it in range(args.steps):
+        anchors, poss, negs, ph, nh = [], [], [], [], []
+        for _ in range(b):
+            c, pd = int(rng_np.integers(args.n_cat)), int(
+                rng_np.integers(args.per_cat))
+            while True:
+                c2, p2 = int(rng_np.integers(args.n_cat)), int(
+                    rng_np.integers(args.per_cat))
+                if (c2, p2) != (c, pd):
+                    break
+            anchors.append(product_image(c, pd, rng_np, jitter=0.15))
+            poss.append(product_image(c, pd, rng_np, jitter=0.02))
+            negs.append(product_image(c2, p2, rng_np, jitter=0.02))
+            ph.append([f"Cat{c}", f"Prod{c}_{pd}"])
+            nh.append([f"Cat{c2}", f"Prod{c2}_{p2}"])
+        sim = jnp.asarray(hierarchy_similarity(ph, nh))
+        params, stats, opt, loss = step(
+            params, stats, opt,
+            jnp.asarray(np.stack(anchors)) * 2 - 1,
+            jnp.asarray(np.stack(poss)) * 2 - 1,
+            jnp.asarray(np.stack(negs)) * 2 - 1, sim)
+        if it % 50 == 0:
+            print(json.dumps({"step": it, "loss": round(float(loss), 4)}),
+                  flush=True)
+
+    trained_trip = triplet_accuracy(enc_with(params, stats), args.n_cat,
+                                    args.per_cat, args.batch_size)
+    print(json.dumps({
+        "mode": "pure_triplet",
+        "trained_triplet_acc": round(trained_trip, 4),
+        "baseline_triplet_acc": round(base_trip, 4),
+        "triplet_above_chance": bool(trained_trip > 0.5),
+        "triplet_improved": bool(trained_trip > base_trip),
+        "steps": args.steps,
+        "wall": round(time.time() - t0, 1),
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-cat", type=int, default=4)
@@ -194,7 +287,16 @@ def main():
     ap.add_argument("--reuse-gan", action="store_true",
                     help="restore gan_checkpoint from --out instead of "
                     "pretraining again")
+    ap.add_argument("--pure-triplet", action="store_true",
+                    help="sanity mode: supervised hierarchical-triplet "
+                    "training with clean anchors (no GAN), Adam — proves "
+                    "the triplet machinery + encoder learn the hierarchy")
+    ap.add_argument("--steps", type=int, default=400)
     args = ap.parse_args()
+
+    if args.pure_triplet:
+        pure_triplet_main(args)
+        return
 
     import jax
 
