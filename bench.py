@@ -145,6 +145,9 @@ def main():
                      config.detections_per_img))
     crops_per_image = next((b for b in CROP_BUCKETS if b >= target),
                            CROP_BUCKETS[-1])
+    if os.environ.get("CVPCE_BENCH_FIXED_CROPS"):
+        # comparability override (round-1 measured a fixed 128)
+        crops_per_image = int(os.environ["CVPCE_BENCH_FIXED_CROPS"])
     total_crops = batch * crops_per_image
     embed_chunk = min(embed_chunk, total_crops)
     while total_crops % embed_chunk:
