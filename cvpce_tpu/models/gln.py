@@ -66,6 +66,9 @@ class GLNConfig:
     soft_nms_sigma: float = 0.5
     # EM-style score-weighted box merging of NMS survivors
     merge_boxes: bool = False
+    # fold the gaussian branch's [up2x -> subnet conv1] into one conv at
+    # the lower resolution (exact semantics, 4x MXU lane utilization)
+    fold_gaussian_upsample: bool = True
 
     def anchors(self) -> Tuple[np.ndarray, List[int]]:
         return anchor_ops.grid_anchors(self.canvas_h, self.canvas_w)
@@ -135,13 +138,65 @@ class RetinaNetHead(nn.Module):
                 jnp.concatenate(regs_all, axis=1))
 
 
+class _FoldedUpConv(nn.Module):
+    """[nearest-2x-upsample -> 3x3 conv] as ONE conv at the lower
+    resolution producing all four phase outputs, then depth-to-space.
+
+    Exact reformulation (up to float summation order): with
+    xu[2a+u] = x[a], the 3x3 taps collapse per output phase di into a
+    3-tap kernel on x — e.g. 1-D phase 0 is [w0, w1+w2, 0], phase 1 is
+    [0, w0+w1, w2]. TPU motivation: the original conv runs at 2H x 2W
+    with 32 output channels (a quarter of the 128 MXU lanes); the folded
+    form runs at H x W with 4x32=128 output channels at identical FLOPs
+    — measured ~4x better per-FLOP efficiency (scripts/profile_gauss.py).
+    Param names/shapes match the plain nn.Conv, so checkpoints load
+    unchanged."""
+    features: int
+    dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.kaiming_normal()
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        o = self.features
+        kernel = self.param("kernel", self.kernel_init, (3, 3, c, o),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (o,), jnp.float32)
+        w = kernel.astype(self.dtype)
+        folded = jnp.zeros((3, 3, c, 4 * o), self.dtype)
+        for di in (0, 1):
+            for dj in (0, 1):
+                slot = di * 2 + dj
+                for ky in range(3):
+                    for kx in range(3):
+                        pa = (di + ky - 1) // 2 + 1
+                        pb = (dj + kx - 1) // 2 + 1
+                        folded = folded.at[
+                            pa, pb, :, slot * o:(slot + 1) * o
+                        ].add(w[ky, kx])
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, folded.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), folded, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn)
+        y = y + jnp.tile(bias, 4).astype(self.dtype)
+        b, h2, w2, _ = y.shape
+        y = y.reshape(b, h2, w2, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, h2 * 2, w2 * 2, o)
+
+
 class GaussianBranch(nn.Module):
     """Gaussian heatmap head: C2 lateral + 2x-upsampled P3 -> conv-BN-ReLU
     pyramid -> subnet -> half-resolution heatmap
-    (cvpce/models/proposals.py:51-107)."""
+    (cvpce/models/proposals.py:51-107).
+
+    `fold_upsample`: compute [up2x -> subnet conv 1] as a folded conv at
+    the lower resolution (_FoldedUpConv) — exact semantics, ~4x better
+    MXU lane utilization for the thin 64->32 layer."""
     tanh: bool = False
     train: bool = False
     dtype: Any = jnp.float32
+    fold_upsample: bool = True
 
     @nn.compact
     def __call__(self, c2: Array, p3: Array) -> Array:
@@ -165,11 +220,18 @@ class GaussianBranch(nn.Module):
                                kernel_init=relu_init, dtype=self.dtype,
                                name="block2_conv")(x),
                        "block2_bn"))
-        x = upsample_nearest_2x(x)
 
-        # GaussianSubnet: 64->32->32->16->16->1
+        # GaussianSubnet: 64->32->32->16->16->1 (on the 2x-upsampled map)
         spec = [(32, 3), (32, 3), (16, 3), (16, 1)]
-        for i, (ch, k) in enumerate(spec):
+        if self.fold_upsample:
+            x = nn.relu(_FoldedUpConv(spec[0][0], dtype=self.dtype,
+                                      kernel_init=relu_init,
+                                      name="subnet_0")(x))
+            rest = list(enumerate(spec))[1:]
+        else:
+            x = upsample_nearest_2x(x)
+            rest = list(enumerate(spec))
+        for i, (ch, k) in rest:
             pad = [(k // 2, k // 2)] * 2
             x = nn.relu(nn.Conv(ch, (k, k), padding=pad,
                                 kernel_init=relu_init, dtype=self.dtype,
@@ -195,6 +257,7 @@ class GLN(nn.Module):
             feats["c3"], feats["c4"], feats["c5"])
         heatmap = GaussianBranch(
             tanh=self.config.tanh, train=self.train, dtype=dt,
+            fold_upsample=self.config.fold_gaussian_upsample,
             name="gaussian"
         )(feats["c2"], pyramid[0])
         cls_logits, bbox_regression = RetinaNetHead(
