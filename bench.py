@@ -157,6 +157,15 @@ def main():
     # bisect the shift against the MEASURED NMS-survivor count instead,
     # targeting the scenes' ground-truth product density.
     hi = float(SCORE_THRESH_LOGIT - np.quantile(raw_logits, 0.999))
+    # make sure the bracket actually straddles the target: hi must
+    # OVERshoot and lo must undershoot
+    cal, n_hi = count_dets(hi)
+    tries = 0
+    while n_hi.mean() < gt_mean and tries < 6:
+        hi += 2.0
+        cal, n_hi = count_dets(hi)
+        tries += 1
+    best = (abs(n_hi.mean() - gt_mean), cal, n_hi)
     lo = hi - 6.0
     cal, n_det = count_dets(lo)
     tries = 0
@@ -164,7 +173,8 @@ def main():
         hi, lo = lo, lo - 4.0
         cal, n_det = count_dets(lo)
         tries += 1
-    best = (abs(n_det.mean() - gt_mean), cal, n_det)
+    if abs(n_det.mean() - gt_mean) < best[0]:
+        best = (abs(n_det.mean() - gt_mean), cal, n_det)
     for _ in range(10):
         mid = (lo + hi) / 2
         cal, n_det = count_dets(mid)

@@ -231,12 +231,11 @@ def hyperopt(source, imgs, annotations, test_imgs, test_annotations, out,
         test_imgs, test_annotations,
         only=defaults.GP_TEST_VALIDATION_SET_SIZE)
 
-    import itertools
-    from contextlib import nullcontext
-
     import jax
 
-    trial_seq = itertools.count(1)  # thread-safe trial-dir counter
+    from ..train.hyperopt import device_scope, trial_dir_allocator
+
+    new_trial_dir = trial_dir_allocator(out)
 
     def train_one_epoch(config, epoch, carry, device=None):
         cfg = DIHETrainConfig(enc_lr=config["enc_lr"],
@@ -248,15 +247,16 @@ def hyperopt(source, imgs, annotations, test_imgs, test_annotations, out,
             metrics.update(kw)
 
         if carry is None:  # first epoch of this trial: own working dir
-            carry = path.join(out, f"trial_{next(trial_seq):03d}")
+            carry = new_trial_dir()
         # one trial per device (cvpce/cli/dihe.py:243), no mesh inside
-        ctx = jax.default_device(device) if device is not None \
-            else nullcontext()
-        with ctx:
+        with device_scope(device):
+            # resume from the trial's rotating checkpoint so each epoch
+            # CONTINUES the same training run (loops.py saves at every
+            # epoch boundary)
             train_dihe(dataset, discset, dataset, evalset,
                        carry, epochs=1, batch_size=batch_size,
                        train_cfg=cfg, use_mesh=False,
-                       hyperopt_report=report)
+                       hyperopt_report=report, resume=epoch > 0)
         return metrics.get("accuracy", 0.0), carry
 
     result = run_search(train_one_epoch, DIHE_SPACE, num_trials=trials,

@@ -317,12 +317,11 @@ def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
 
     os.makedirs(out, exist_ok=True)
 
-    import itertools
-
     import jax
 
-    trial_seq = itertools.count(1)  # thread-safe trial-dir counter
+    from ..train.hyperopt import device_scope, trial_dir_allocator
 
+    new_trial_dir = trial_dir_allocator(out)
     ch, cw = canvas
 
     def train_one_epoch(config, epoch, carry, device=None):
@@ -356,13 +355,10 @@ def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
             metrics.update(kw)
 
         if carry is None:  # first epoch of this trial: own working dir
-            carry = path.join(out, f"trial_{next(trial_seq):03d}")
-        # one trial per device (the reference's one-GPU-per-trial
-        # placement, cvpce/cli/gln.py:214); the mesh stays off inside
-        # trials so concurrent trials don't contend for chips
-        ctx = jax.default_device(device) if device is not None \
-            else _nullcontext()
-        with ctx:
+            carry = new_trial_dir()
+        # mesh stays off inside trials so concurrent trials don't
+        # contend for chips
+        with device_scope(device):
             train_proposal_generator(
                 dataset, evalset, carry, model_cfg=model_cfg,
                 train_cfg=train_cfg, batch_size=batch_size, epochs=1,
@@ -370,7 +366,6 @@ def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
                 hyperopt_report=report)
         return metrics.get("average_precision", 0.0), carry
 
-    from contextlib import nullcontext as _nullcontext
     from os import path
 
     result = run_search(train_one_epoch, GLN_SPACE, num_trials=trials,

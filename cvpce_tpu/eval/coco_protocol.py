@@ -63,32 +63,46 @@ def _box_area(boxes: np.ndarray) -> np.ndarray:
     return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
 
-def _match_image(img: ImageDetections, iou_thresh: float,
-                 area_range: Tuple[float, float], max_dets: int):
-    """COCOeval evaluateImg: returns (scores, matched, ignored) for the
-    image's detections (truncated to max_dets) and the number of
-    non-ignored GTs."""
-    lo, hi = area_range
+@dataclasses.dataclass
+class _PreparedImage:
+    """Per-image state shared across all (iou_threshold x area) cells:
+    the score sort / maxDets truncation, box areas, and the IoU matrix
+    (dets sorted by score x gts in original order) are threshold- and
+    area-independent, so computing them once per image avoids the 40x
+    redundant work pycocotools also hoists."""
+    det_scores: np.ndarray
+    det_area: np.ndarray
+    gt_area: np.ndarray
+    iou: np.ndarray  # (D, G)
+
+
+def _prepare_image(img: ImageDetections, max_dets: int) -> _PreparedImage:
     order = np.argsort(-img.det_scores, kind="stable")[:max_dets]
     det_boxes = img.det_boxes[order]
-    det_scores = img.det_scores[order]
+    gt_area = _box_area(img.gt_boxes) if len(img.gt_boxes) else np.zeros(0)
+    return _PreparedImage(img.det_scores[order], _box_area(det_boxes),
+                          gt_area, _iou_matrix(det_boxes, img.gt_boxes))
 
-    gt_area = _box_area(img.gt_boxes) if len(img.gt_boxes) else \
-        np.zeros(0)
-    gt_ignore = (gt_area < lo) | (gt_area > hi)
+
+def _match_image(prep: _PreparedImage, iou_thresh: float,
+                 area_range: Tuple[float, float]):
+    """COCOeval evaluateImg: returns (scores, matched, ignored) for the
+    prepared detections and the number of non-ignored GTs."""
+    lo, hi = area_range
+    gt_ignore = (prep.gt_area < lo) | (prep.gt_area > hi)
     # COCOeval sorts GT so non-ignored come first; matching prefers them
     gt_order = np.argsort(gt_ignore, kind="stable")
-    gt_boxes = img.gt_boxes[gt_order]
     gt_ignore = gt_ignore[gt_order]
+    iou = prep.iou[:, gt_order]
 
-    iou = _iou_matrix(det_boxes, gt_boxes)
-    g_matched = np.full(len(gt_boxes), -1)
-    d_matched = np.zeros(len(det_boxes), bool)
-    d_ignore = np.zeros(len(det_boxes), bool)
-    for di in range(len(det_boxes)):
+    n_det, n_gt_total = iou.shape
+    g_matched = np.full(n_gt_total, -1)
+    d_matched = np.zeros(n_det, bool)
+    d_ignore = np.zeros(n_det, bool)
+    for di in range(n_det):
         best_iou = iou_thresh - 1e-10
         best_gi = -1
-        for gi in range(len(gt_boxes)):
+        for gi in range(n_gt_total):
             if g_matched[gi] >= 0:  # no crowd GTs -> never rematch
                 continue
             # once matched to a real GT, never downgrade to an ignored one
@@ -101,11 +115,10 @@ def _match_image(img: ImageDetections, iou_thresh: float,
             g_matched[best_gi] = di
             d_matched[di] = True
             d_ignore[di] = gt_ignore[best_gi]
-    det_area = _box_area(det_boxes)
-    out_of_range = (det_area < lo) | (det_area > hi)
+    out_of_range = (prep.det_area < lo) | (prep.det_area > hi)
     d_ignore |= (~d_matched) & out_of_range
     n_gt = int((~gt_ignore).sum())
-    return det_scores, d_matched & ~d_ignore, d_ignore, n_gt
+    return prep.det_scores, d_matched & ~d_ignore, d_ignore, n_gt
 
 
 def _accumulate(per_image) -> Tuple[float, float]:
@@ -160,6 +173,8 @@ def evaluate_coco_protocol(
              'ar': AR@maxDets, 'per_area': {...}, 'per_threshold': {...}}.
     """
     cats = list(images.keys())
+    prepared = {cat: [_prepare_image(img, max_dets) for img in imgs]
+                for cat, imgs in images.items()}
     ap_cell = {}
     ar_cell = {}
     for area in area_ranges:
@@ -167,8 +182,8 @@ def evaluate_coco_protocol(
         for t in iou_thresholds:
             aps, ars = [], []
             for cat in cats:
-                per_image = [_match_image(img, t, rng_, max_dets)
-                             for img in images[cat]]
+                per_image = [_match_image(prep, t, rng_)
+                             for prep in prepared[cat]]
                 ap, ar = _accumulate(per_image)
                 if not np.isnan(ap):
                     aps.append(ap)

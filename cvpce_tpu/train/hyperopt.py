@@ -323,3 +323,35 @@ def run_search(
         "best_metric": best.best if best else None,
         "trials": trials,
     }
+
+
+def trial_dir_allocator(base_dir: str) -> Callable[[], str]:
+    """Thread-safe trial working-directory allocator (trial_001, ...).
+
+    Shared by the gln/dihe hyperopt CLIs — each trial's first epoch
+    allocates a directory that then rides the ASHA `carry` so later
+    epochs resume the same run."""
+    import itertools
+    from os import path
+
+    lock = threading.Lock()
+    seq = itertools.count(1)
+
+    def allocate() -> str:
+        with lock:
+            return path.join(base_dir, f"trial_{next(seq):03d}")
+
+    return allocate
+
+
+def device_scope(device):
+    """jax.default_device(device) when a device is assigned (one trial
+    per chip, the reference's one-GPU-per-trial placement), else a
+    no-op context."""
+    from contextlib import nullcontext
+
+    if device is None:
+        return nullcontext()
+    import jax
+
+    return jax.default_device(device)

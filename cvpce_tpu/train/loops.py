@@ -206,6 +206,13 @@ def train_proposal_generator(
         with open(path.join(output_path, f"stats_{e}.json"), "w") as f:
             json.dump(losses_log, f)
 
+        # end-of-epoch rotating save so resume=True continues from the
+        # true epoch boundary (interval saves alone can strand up to
+        # checkpoint_interval-1 trailing steps — hyperopt's per-epoch
+        # re-invocation depends on this)
+        manager.save_rotating(state, {
+            "epoch": e, "iteration": iteration - 1, "best": keeper.best})
+
         final = e == end_epoch - 1
         if e % eval_interval == 0 or final:
             print("Evaluating...")
@@ -291,8 +298,11 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
                epochs: int = 1, batch_size: int = 4,
                checkpoint_interval: int = 200, eval_interval: int = 1,
                train_cfg=None, seed: int = 0, use_mesh: bool = True,
-               hyperopt_report=None) -> Dict:
-    """DIHE training loop (cvpce/classification_training.py:334-541)."""
+               hyperopt_report=None, resume: bool = False) -> Dict:
+    """DIHE training loop (cvpce/classification_training.py:334-541).
+
+    `resume`: continue from the rotating embedder_checkpoint (all three
+    players' params/opt states), mirroring the GLN loop's resume."""
     from ..data.transforms import scale_to_tanh
     from ..eval.classification import eval_dihe
     from ..models.embedders import MACVGG
@@ -352,8 +362,18 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
                             "batch_stats": state.emb_stats}, imgs)
         return encode
 
+    start_epoch = 0
     iteration = 0
-    for e in range(epochs):
+    if resume:
+        meta = manager.load_meta()
+        if meta:
+            state = manager.restore(state)
+            start_epoch = meta.get("epoch", -1) + 1
+            iteration = meta.get("iteration", -1) + 1
+            keeper.best = meta.get("best", keeper.best)
+
+    end_epoch = start_epoch + epochs
+    for e in range(start_epoch, end_epoch):
         loader.set_epoch(e)
         for embs, gens, hiers in loader:
             block = len(embs) // 2
@@ -377,7 +397,12 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
                                               "best": keeper.best})
             iteration += 1
 
-        final = e == epochs - 1
+        # end-of-epoch rotating save (resume continuity — see the GLN
+        # loop's equivalent)
+        manager.save_rotating(state, {"epoch": e, "iteration":
+                                      iteration - 1, "best": keeper.best})
+
+        final = e == end_epoch - 1
         if e % eval_interval == 0 or final:
             acc = eval_dihe(encoder_fn_factory(), 1024, evaldata, evalset,
                             batch_size=batch_size, k=(1,), verbose=False)

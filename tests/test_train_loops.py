@@ -215,3 +215,51 @@ def test_loop_steps_per_call_chunked(tmp_path):
         stats = json.load(f)
     assert len(stats["class_loss"]) == 3  # per-step logging preserved
     assert "checkpoint" in set(os.listdir(out))
+
+
+@pytest.mark.slow
+def test_gln_resume_continues_from_epoch_boundary(tmp_path):
+    """With a LARGE checkpoint_interval, resume must still continue from
+    the end-of-epoch state (hyperopt re-invokes the loop per epoch; the
+    rotating checkpoint is saved at every epoch boundary)."""
+    from cvpce_tpu.train.loops import train_proposal_generator
+
+    model_cfg = GLNConfig(canvas_h=64, canvas_w=64, max_nms_candidates=128,
+                          detections_per_img=64)
+    train_cfg = GLNTrainConfig(match_chunk=1024, min_negatives=64)
+    dataset = _SyntheticDetectionSet()
+    out = str(tmp_path / "run")
+
+    r1 = train_proposal_generator(
+        dataset, dataset, out, model_cfg=model_cfg, train_cfg=train_cfg,
+        batch_size=1, epochs=1, checkpoint_interval=100, eval_interval=5,
+        use_mesh=False)
+    assert int(np.asarray(r1["state"].step)) == 3
+    r2 = train_proposal_generator(
+        dataset, dataset, out, model_cfg=model_cfg, train_cfg=train_cfg,
+        batch_size=1, epochs=1, checkpoint_interval=100, eval_interval=5,
+        use_mesh=False, resume=True)
+    # all 3 steps of epoch 0 were retained, then 3 more ran
+    assert int(np.asarray(r2["state"].step)) == 6
+
+
+@pytest.mark.slow
+def test_dihe_resume_continues(tmp_path, monkeypatch):
+    from cvpce_tpu.train.dihe import DIHETrainConfig
+    from cvpce_tpu.train import loops
+
+    monkeypatch.setattr(
+        "cvpce_tpu.eval.classification.eval_dihe",
+        lambda *a, **k: {1: 0.5})
+    dataset = _SyntheticGallerySet()
+    discset = _SyntheticCropSet()
+    cfg = DIHETrainConfig(gen_downs=4)
+    out = str(tmp_path / "dihe")
+    r1 = loops.train_dihe(dataset, discset, dataset, None, out, epochs=1,
+                          batch_size=2, checkpoint_interval=100,
+                          train_cfg=cfg, use_mesh=False)
+    assert int(np.asarray(r1["state"].step)) == 2
+    r2 = loops.train_dihe(dataset, discset, dataset, None, out, epochs=1,
+                          batch_size=2, checkpoint_interval=100,
+                          train_cfg=cfg, use_mesh=False, resume=True)
+    assert int(np.asarray(r2["state"].step)) == 4
