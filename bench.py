@@ -20,6 +20,14 @@ Python crop loop (reference production.py:20), which alone costs ~5
 TFLOP/image — more than 10 img/s worth of fp32 V100 compute. See PERF.md
 for the roofline derivation.
 
+Embed numerics default to calibrated static-scale int8 (the production
+serving path: Classifier calibrates on the gallery; here on real crops
+from one detect pass). Fidelity on trained weights: triplet/top-1
+metrics within noise of f32, top-1 agreement at bf16's own level
+(reports/int8_fidelity_trained_r2.log). CVPCE_BENCH_EMBED=bf16 selects
+the bf16 parity path; detection postprocess parity (full NMS candidate
+budget, reference crop semantics) is unaffected by the embed mode.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Diagnostics (calibration, bucket, det counts) go to stderr.
 """
@@ -210,14 +218,44 @@ def main():
         embed_chunk //= 2
     log(f"crop bucket: {crops_per_image} (mean detections {target})")
 
-    use_int8 = bool(os.environ.get("CVPCE_BENCH_INT8"))
-    if use_int8:
-        log("embed: opt-in int8 MXU path (NOT the default measurement)")
-    embedder = MACVGG(batch_norm=True, int8=use_int8,
+    # Embed numerics: calibrated static-scale int8 MXU convs by default
+    # (all convs but conv1_1) — measured 1.43x over bf16 on v5e with
+    # task metrics preserved on trained weights (triplet/top-1 within
+    # noise, top-1 agreement vs f32 at bf16's own level; PERF.md r2,
+    # reports/int8_fidelity_trained_r2.log). Set CVPCE_BENCH_EMBED=bf16
+    # (or CVPCE_BENCH_INT8=0) for the bf16 parity path.
+    if platform == "cpu":
+        embed_mode = "f32"
+    else:
+        raw = (os.environ.get("CVPCE_BENCH_EMBED")
+               or os.environ.get("CVPCE_BENCH_INT8", ""))
+        embed_mode = "bf16" if raw in ("0", "bf16") else "int8"
+    log(f"embed numerics: {embed_mode}")
+    use_int8 = embed_mode == "int8"
+    embedder = MACVGG(batch_norm=True, int8_all=use_int8,
+                      int8_static=use_int8,
                       dtype=jnp.bfloat16 if platform != "cpu"
                       else jnp.float32)
     emb_vars = embedder.init(jax.random.PRNGKey(1),
                              jnp.zeros((8, 256, 256, 3), jnp.float32))
+    if use_int8:
+        # calibrate activation scales on real crops from one detect
+        # pass (production calibrates on the gallery at index build)
+        from cvpce_tpu.models.embedders import calibrate_int8_scales
+
+        @jax.jit
+        def first_crops(imgs):
+            outputs = gln.apply(gln_vars, imgs)
+            res = postprocess_detections(outputs, anchors_j, level_counts,
+                                         sizes, config)
+            top_boxes = res["boxes"][:, :crops_per_image]
+            crops = jax.vmap(crop_resize_square_mxu)(imgs, top_boxes)
+            return scale_to_tanh(crops).reshape(
+                batch * crops_per_image, 256, 256, 3)
+
+        cal_model = embedder.clone(int8_static=False, int8_calibrate=True)
+        emb_vars = calibrate_int8_scales(
+            cal_model, emb_vars, [first_crops(images)[:embed_chunk]])
 
     @jax.jit
     def detect_embed(imgs):

@@ -79,16 +79,19 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
     encoder='vgg16': MACVGG; accepts torchvision vgg16(_bn) or reference
     MACVGG checkpoints. encoder='resnet50': MACResNet; accepts torchvision
     resnet50 state_dicts (cvpce/cli/dihe.py:257-309 offers both trunks).
-    int8: MACVGG int8 MXU serving path (same checkpoints; ~1.5x embed
-    throughput on v5e at small embedding-fidelity cost).
+    int8: MACVGG int8 MXU serving path (same checkpoints; ~1.4x embed
+    throughput on v5e at small embedding-fidelity cost). Uses calibrated
+    static activation scales: the Classifier calibrates on the gallery
+    at index-build time (scales persist with saved indexes); standalone
+    use self-calibrates on the first batch.
     """
     if encoder == "resnet50":
         # the int8 flag maps to bf16 for the resnet trunk (int8 conv path
         # is VGG-specific; bf16 is the resnet fast mode)
         return _load_macresnet(weights, bf16=int8)
     dtype = jnp.bfloat16 if int8 else jnp.float32
-    model = MACVGG(batch_norm=batch_norm, train=False, int8=int8,
-                   dtype=dtype)
+    model = MACVGG(batch_norm=batch_norm, train=False, int8_all=int8,
+                   int8_static=int8, dtype=dtype)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32))
     if weights is not None:
@@ -117,10 +120,9 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
             raise ValueError("unrecognized embedder checkpoint layout")
         variables = _merge(variables, imported)
 
-    @jax.jit
-    def encode(imgs):
-        return model.apply(variables, imgs)
+    from ..models.embedders import EmbedFn
 
+    encode = EmbedFn(model, variables)
     return encode, model.embedding_size
 
 

@@ -14,7 +14,7 @@ torch checkpoints map 1:1 (see utils/torch_import.py).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -51,13 +51,23 @@ def _vgg_plan(batch_norm: bool):
 
 
 class Int8Conv(nn.Module):
-    """3x3 same-pad conv on the TPU int8 MXU path: dynamic per-tensor
-    activation quantization, per-output-channel weight quantization, int32
+    """3x3 same-pad conv on the TPU int8 MXU path: per-tensor activation
+    quantization, per-output-channel weight quantization, int32
     accumulate, dequantized f32 epilogue. Param names/shapes match nn.Conv
     ('kernel' HWIO + 'bias'), so f32/bf16 checkpoints load unchanged —
-    quantization happens at apply time."""
+    quantization happens at apply time.
+
+    Activation scales are dynamic (abs-max over the batch, one extra
+    full-tensor reduction pass per layer) by default. For serving,
+    `static_scale=True` reads a pre-calibrated per-layer scale from the
+    'act_scales' variable collection instead — no reduction pass.
+    `calibrate=True` keeps the dynamic behavior and records the running
+    max into 'act_scales' (apply with mutable=['act_scales']); see
+    `calibrate_int8_scales`."""
     features: int
     dtype: Any = jnp.bfloat16
+    static_scale: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -66,8 +76,18 @@ class Int8Conv(nn.Module):
                             (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
+        sv = None
+        if self.static_scale or self.calibrate:
+            sv = self.variable("act_scales", "scale",
+                               lambda: jnp.zeros((), jnp.float32))
         xf = x.astype(jnp.float32)
-        a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        if self.static_scale and not self.calibrate \
+                and not self.is_initializing():
+            a_scale = jnp.maximum(sv.value, 1e-8)
+        else:
+            a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+            if sv is not None and not self.is_initializing():
+                sv.value = jnp.maximum(sv.value, a_scale)
         xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
         w_scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
                               1e-8) / 127.0
@@ -88,6 +108,10 @@ class Int8Conv(nn.Module):
 # (already near peak in bf16).
 INT8_FAVORED_CONVS = frozenset({2, 4, 5, 6, 7, 9, 10, 11, 12, 13})
 
+# All convs except conv1_1 (ordinal 1): its 3-channel input makes the
+# quantization overhead dominate the tiny matmul regardless of scales.
+INT8_ALL_CONVS = frozenset(range(2, 14))
+
 
 class MACVGG(nn.Module):
     """VGG16 MAC embedder, embedding_size = 1024.
@@ -96,6 +120,13 @@ class MACVGG(nn.Module):
     (INT8_FAVORED_CONVS, measured on v5e) as dynamically-quantized int8
     MXU convs. Same checkpoint format; ~1.5x embed throughput at a small
     embedding-fidelity cost (validated in scripts/profile_embed_opt.py).
+
+    `int8_all` widens the int8 set to every conv but conv1_1 (worth it
+    once scales are static); `int8_static` uses calibrated per-layer
+    activation scales from the 'act_scales' collection instead of
+    per-batch dynamic abs-max (see `calibrate_int8_scales`);
+    `int8_calibrate` records those scales (apply with
+    mutable=['act_scales']).
     """
     batch_norm: bool = True
     train: bool = False
@@ -103,9 +134,16 @@ class MACVGG(nn.Module):
     eps: float = 1e-8
     dtype: Any = jnp.float32
     int8: bool = False
+    int8_all: bool = False
+    int8_static: bool = False
+    int8_calibrate: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, n_entries: Optional[int] = None) -> Array:
+        """n_entries: profiling hook — stop after the plan's first n
+        entries and return the raw activation's sum (scalar), so
+        per-layer marginal costs can be measured as prefix deltas
+        (scripts/profile_embed_layers_static.py). None = normal embed."""
         x = normalize_tanh_imagenet(x).astype(self.dtype)
 
         plan = _vgg_plan(self.batch_norm)
@@ -113,6 +151,7 @@ class MACVGG(nn.Module):
         # its pool), descriptor 2 after the last ReLU of block 5.
         pools_seen = 0
         conv_ordinal = 0
+        done = 0
         desc1 = desc2 = None
         for kind, idx, ch in plan:
             if kind == "pool":
@@ -125,8 +164,14 @@ class MACVGG(nn.Module):
                 x = max_pool(x, 2, 2)
             elif kind == "conv":
                 conv_ordinal += 1
-                if self.int8 and conv_ordinal in INT8_FAVORED_CONVS:
-                    x = Int8Conv(ch, dtype=self.dtype, name=f"f{idx}")(x)
+                int8_set = (INT8_ALL_CONVS if self.int8_all
+                            else INT8_FAVORED_CONVS)
+                if (self.int8 or self.int8_all) \
+                        and conv_ordinal in int8_set:
+                    x = Int8Conv(ch, dtype=self.dtype,
+                                 static_scale=self.int8_static,
+                                 calibrate=self.int8_calibrate,
+                                 name=f"f{idx}")(x)
                 else:
                     x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
                                 use_bias=True, dtype=self.dtype,
@@ -137,10 +182,89 @@ class MACVGG(nn.Module):
                                  dtype=self.dtype, name=f"f{idx}")(x)
             elif kind == "relu":
                 x = nn.relu(x)
+            done += 1
+            if n_entries is not None and done >= n_entries:
+                return jnp.sum(x.astype(jnp.float32))
 
         desc = jnp.concatenate([desc1, desc2], axis=1).astype(jnp.float32)
         norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
         return desc / jnp.maximum(norm, self.eps)
+
+
+def calibrate_int8_scales(model: "MACVGG", variables, batches):
+    """Record per-layer int8 activation scales for static-scale serving.
+
+    `model` must be constructed with int8/int8_all and
+    `int8_calibrate=True`. Runs each batch, keeping the running max of
+    every Int8Conv's per-tensor activation scale. Returns `variables`
+    augmented with the resulting 'act_scales' collection, ready for an
+    `int8_static=True` twin of the same model.
+    """
+    import jax as _jax
+
+    @_jax.jit
+    def step(vars_, batch):
+        _, mut = model.apply(vars_, batch, mutable=["act_scales"])
+        return mut["act_scales"]
+
+    scales = None
+    for batch in batches:
+        vars_ = dict(variables)
+        if scales is not None:
+            vars_["act_scales"] = scales
+        scales = step(vars_, batch)
+    out = dict(variables)
+    out["act_scales"] = scales
+    return out
+
+
+class EmbedFn:
+    """Serving wrapper: a jitted `(B, 256, 256, 3) -> (B, D)` callable
+    that also carries the int8 static-scale lifecycle.
+
+    For `int8_static` models the activation scales must be calibrated
+    before serving. The production flow (pipeline/classifier.py)
+    calibrates on the gallery at index-build time and persists the
+    scales with the saved index; if serving starts uncalibrated (e.g.
+    an old index file), the first batch self-calibrates — scales are
+    then frozen for the session, keeping embeddings reproducible.
+    """
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+        self._apply = jax.jit(model.apply)
+        self.needs_calibration = bool(getattr(model, "int8_static", False))
+        self._calibrated = not self.needs_calibration
+
+    @property
+    def embedding_size(self) -> int:
+        return self.model.embedding_size
+
+    def __call__(self, imgs: Array) -> Array:
+        if not self._calibrated:
+            self.calibrate([imgs])
+        return self._apply(self.variables, imgs)
+
+    def calibrate(self, batches) -> None:
+        cal = self.model.clone(int8_static=False, int8_calibrate=True)
+        self.variables = calibrate_int8_scales(cal, self.variables,
+                                               batches)
+        self._calibrated = True
+
+    def get_scales(self):
+        """Per-layer act scales as a plain float tree (None if absent)."""
+        scales = self.variables.get("act_scales")
+        if scales is None:
+            return None
+        return jax.tree.map(float, scales)
+
+    def set_scales(self, scales) -> None:
+        v = dict(self.variables)
+        v["act_scales"] = jax.tree.map(
+            lambda s: jnp.asarray(s, jnp.float32), scales)
+        self.variables = v
+        self._calibrated = True
 
 
 class MACResNet(nn.Module):

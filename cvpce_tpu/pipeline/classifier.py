@@ -36,7 +36,12 @@ class Classifier:
         self.batch_size = batch_size
         self.k = k
         if load is not None:
-            self.embedding, self.annotations = self.load_index(load)
+            self.embedding, self.annotations, scales = self._load_index(
+                load)
+            if scales is not None and hasattr(encoder_fn, "set_scales"):
+                # restore the int8 act scales the index was built with so
+                # queries embed in the same numerics as the gallery
+                encoder_fn.set_scales(scales)
         else:
             assert sample_set is not None
             self.embedding, self.annotations = self.build_index(
@@ -51,6 +56,18 @@ class Classifier:
         embeddings: List[np.ndarray] = []
         annotations: List = []
         n = len(sample_set)
+        if getattr(self.encoder_fn, "needs_calibration", False) and n:
+            # int8 static-scale encoder: calibrate activation scales on
+            # the gallery itself before embedding it (scales persist
+            # with the index via save_index)
+            cal_batches = []
+            for start in range(0, min(n, 4 * self.batch_size),
+                               self.batch_size):
+                items = [sample_set[i] for i in
+                         range(start, min(start + self.batch_size, n))]
+                cal_batches.append(jnp.asarray(
+                    np.stack([it[0] for it in items])))
+            self.encoder_fn.calibrate(cal_batches)
         for start in range(0, n, self.batch_size):
             idxs = range(start, min(start + self.batch_size, n))
             items = [sample_set[i] for i in idxs]
@@ -77,13 +94,26 @@ class Classifier:
         return np.asarray(self.encoder_fn(jnp.asarray(imgs)))
 
     def save_index(self, path: str) -> None:
+        extra = {}
+        scales = getattr(self.encoder_fn, "get_scales", lambda: None)()
+        if scales is not None:
+            # persist the int8 act scales the gallery was embedded with
+            extra["act_scales"] = np.array([scales], dtype=object)
         np.savez(path, embedding=self.embedding,
-                 annotations=np.array(self.annotations, dtype=object))
+                 annotations=np.array(self.annotations, dtype=object),
+                 **extra)
 
     @staticmethod
     def load_index(path: str):
+        emb, anns, _ = Classifier._load_index(path)
+        return emb, anns
+
+    @staticmethod
+    def _load_index(path: str):
         data = np.load(path, allow_pickle=True)
-        return data["embedding"], list(data["annotations"])
+        scales = (data["act_scales"][0] if "act_scales" in data.files
+                  else None)
+        return data["embedding"], list(data["annotations"]), scales
 
     def classify(self, images: np.ndarray,
                  return_embedding: bool = False):

@@ -181,6 +181,69 @@ def warm_batch_stats(model_train, params, stats, gallery, batch_size,
     return stats
 
 
+def int8_fidelity_report(params, stats_warmed, n_cat, per_cat,
+                         batch_size):
+    """Compare embed numerics variants ON TRAINED WEIGHTS: triplet
+    accuracy, gallery query top-1 accuracy, and top-1 agreement vs the
+    f32 reference — the evidence needed before int8 can be a default
+    serving path (random-weights fidelity alone doesn't bind)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvpce_tpu.models.embedders import MACVGG, calibrate_int8_scales
+
+    base_vars = {"params": params, "batch_stats": stats_warmed}
+    rng = np.random.default_rng(11)
+    index_imgs, labels, query_imgs, q_labels = [], [], [], []
+    for c in range(n_cat):
+        for p in range(per_cat):
+            index_imgs.append(product_image(c, p, rng) * 2 - 1)
+            labels.append((c, p))
+            for _ in range(4):
+                query_imgs.append(
+                    product_image(c, p, rng, jitter=0.15) * 2 - 1)
+                q_labels.append((c, p))
+    index_arr = np.stack(index_imgs).astype(np.float32)
+    query_arr = np.stack(query_imgs).astype(np.float32)
+
+    cal = MACVGG(batch_norm=True, int8_all=True, int8_calibrate=True)
+    vars_cal = calibrate_int8_scales(cal, base_vars,
+                                     [jnp.asarray(index_arr)])
+
+    variants = {
+        "f32": (MACVGG(batch_norm=True), base_vars),
+        "bf16": (MACVGG(batch_norm=True, dtype=jnp.bfloat16), base_vars),
+        "int8_hybrid_dyn":
+            (MACVGG(batch_norm=True, dtype=jnp.bfloat16, int8=True),
+             base_vars),
+        "int8_all_static":
+            (MACVGG(batch_norm=True, dtype=jnp.bfloat16, int8_all=True,
+                    int8_static=True), vars_cal),
+    }
+    results, preds = {}, {}
+    for name, (m, v) in variants.items():
+        enc = jax.jit(m.apply)
+
+        def enc_fn(imgs, enc=enc, v=v):
+            return enc(v, imgs)
+
+        trip = triplet_accuracy(enc_fn, n_cat, per_cat, batch_size)
+        ei = np.asarray(enc_fn(jnp.asarray(index_arr)))
+        eq = np.asarray(enc_fn(jnp.asarray(query_arr)))
+        top1 = np.argmax(eq @ ei.T, axis=1)
+        acc = float(np.mean([labels[t] == q_labels[i]
+                             for i, t in enumerate(top1)]))
+        preds[name] = top1
+        results[name] = {"triplet_acc": round(trip, 4),
+                         "query_top1_acc": round(acc, 4)}
+    for name in variants:
+        if name != "f32":
+            results[name]["top1_agreement_vs_f32"] = round(
+                float((preds[name] == preds["f32"]).mean()), 4)
+    print(json.dumps({"int8_fidelity": results}), flush=True)
+    return results
+
+
 def pure_triplet_main(args):
     """Supervised triplet sanity run: anchor = domain-shifted view,
     pos/neg = clean gallery views, hierarchical adaptive margin
@@ -263,6 +326,11 @@ def pure_triplet_main(args):
 
     trained_trip = triplet_accuracy(enc_with(params, stats), args.n_cat,
                                     args.per_cat, args.batch_size)
+    if args.int8_check:
+        warmed = warm_batch_stats(model_t, params, stats, gallery,
+                                  args.batch_size)
+        int8_fidelity_report(params, warmed, args.n_cat, args.per_cat,
+                             args.batch_size)
     print(json.dumps({
         "mode": "pure_triplet",
         "trained_triplet_acc": round(trained_trip, 4),
@@ -292,6 +360,9 @@ def main():
                     "training with clean anchors (no GAN), Adam — proves "
                     "the triplet machinery + encoder learn the hierarchy")
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--int8-check", action="store_true",
+                    help="after pure-triplet training, report int8 "
+                         "embed fidelity on the trained weights")
     args = ap.parse_args()
 
     if args.pure_triplet:
