@@ -20,13 +20,17 @@ Python crop loop (reference production.py:20), which alone costs ~5
 TFLOP/image — more than 10 img/s worth of fp32 V100 compute. See PERF.md
 for the roofline derivation.
 
-Embed numerics default to calibrated static-scale int8 (the production
-serving path: Classifier calibrates on the gallery; here on real crops
-from one detect pass). Fidelity on trained weights: triplet/top-1
-metrics within noise of f32, top-1 agreement at bf16's own level
-(reports/int8_fidelity_trained_r2.log). CVPCE_BENCH_EMBED=bf16 selects
-the bf16 parity path; detection postprocess parity (full NMS candidate
-budget, reference crop semantics) is unaffected by the embed mode.
+Serving numerics default to calibrated static-scale int8 on both
+stages (the production path: Classifier calibrates on the gallery;
+here on the bench scenes/crops). Evidence on TRAINED weights: embed
+triplet/top-1 within noise of f32 with top-1 agreement at bf16's own
+level (reports/int8_fidelity_trained_r2.log); detector AP 0.8882 int8
+vs 0.8887 bf16 on the 3000-step checkpoint
+(reports/detector_int8_r2.log). CVPCE_BENCH_EMBED=bf16 /
+CVPCE_BENCH_DETECT=bf16 select the bf16 parity paths; detection
+postprocess parity (full NMS candidate budget, reference crop
+semantics) is unaffected by either mode, and the head bisection runs
+through the same serving numerics it calibrates.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Diagnostics (calibration, bucket, det counts) go to stderr.
@@ -94,7 +98,7 @@ def main():
     import jax.numpy as jnp
 
     from cvpce_tpu.data.synthetic import SyntheticShelfDataset
-    from cvpce_tpu.models.embedders import MACVGG
+    from cvpce_tpu.models.embedders import MACVGG, fold_bn_variables
     from cvpce_tpu.models.gln import GLN, GLNConfig, postprocess_detections
     from cvpce_tpu.ops.image import crop_resize_square_mxu, scale_to_tanh
 
@@ -113,8 +117,7 @@ def main():
         config = GLNConfig(compute_dtype="bfloat16", use_pallas_nms=True,
                            use_approx_topk=True)
         batch = int(os.environ.get("CVPCE_BENCH_BATCH", "8"))
-        embed_chunk = 256  # measured best chunk (profile_r2: 137.5 ms vs
-        # 144.2 at 128 for 512 crops); VGG activations still fit HBM
+        embed_chunk = None  # chosen per embed mode below
         iters, warmup = 10, 3
         shelves = (6, 9)
 
@@ -143,9 +146,35 @@ def main():
     log(f"logit spread: raw sigma {sigma:.4f}, kernel x{factor:.1f} -> "
         f"sigma {raw_logits.std():.3f}")
 
+    # Detector numerics: int8-static trunk/FPN/towers by default (AP on
+    # the trained 3000-step checkpoint: bf16 0.8887 vs int8 0.8882 —
+    # parity; reports/detector_int8_r2.log). CVPCE_BENCH_DETECT=bf16
+    # keeps the bf16 path. Act scales calibrate here, BEFORE the head
+    # bisection: the head edits only touch the (unquantized) cls_logits
+    # predictor, so the quantized convs' activations are unaffected —
+    # and the bisection then measures the actual serving numerics.
+    if platform == "cpu":
+        detect_mode = "f32"
+    else:
+        raw_d = os.environ.get("CVPCE_BENCH_DETECT", "")
+        detect_mode = "bf16" if raw_d in ("0", "bf16") else "int8"
+    log(f"detect numerics: {detect_mode}")
+    if detect_mode == "int8":
+        import dataclasses
+
+        from cvpce_tpu.models.quant import calibrate_act_scales
+
+        cal_gln = GLN(config=dataclasses.replace(config, int8="calibrate"),
+                      train=False)
+        gln_vars = calibrate_act_scales(cal_gln, gln_vars, [images])
+        gln_serve = GLN(config=dataclasses.replace(config, int8="static"),
+                        train=False)
+    else:
+        gln_serve = gln
+
     @jax.jit
     def detect(variables, imgs):
-        outputs = gln.apply(variables, imgs)
+        outputs = gln_serve.apply(variables, imgs)
         res = postprocess_detections(outputs, anchors_j, level_counts,
                                      sizes, config)
         return res["boxes"], res["scores"], res["valid"]
@@ -213,9 +242,6 @@ def main():
         # comparability override (round-1 measured a fixed 128)
         crops_per_image = int(os.environ["CVPCE_BENCH_FIXED_CROPS"])
     total_crops = batch * crops_per_image
-    embed_chunk = min(embed_chunk, total_crops)
-    while total_crops % embed_chunk:
-        embed_chunk //= 2
     log(f"crop bucket: {crops_per_image} (mean detections {target})")
 
     # Embed numerics: calibrated static-scale int8 MXU convs by default
@@ -232,34 +258,48 @@ def main():
         embed_mode = "bf16" if raw in ("0", "bf16") else "int8"
     log(f"embed numerics: {embed_mode}")
     use_int8 = embed_mode == "int8"
-    embedder = MACVGG(batch_norm=True, int8_all=use_int8,
-                      int8_static=use_int8,
-                      dtype=jnp.bfloat16 if platform != "cpu"
-                      else jnp.float32)
-    emb_vars = embedder.init(jax.random.PRNGKey(1),
-                             jnp.zeros((8, 256, 256, 3), jnp.float32))
+    if embed_chunk is None:
+        # measured best chunks for 512 crops: int8-static 87.6 ms at 128
+        # vs 89.6 at 256 (profile_embed_layers_static); bf16 137.5 at
+        # 256 vs 144.2 at 128 (profile_r2)
+        embed_chunk = 128 if use_int8 else 256
+    embed_chunk = min(embed_chunk, total_crops)
+    while total_crops % embed_chunk:
+        embed_chunk //= 2
+    log(f"embed chunk: {embed_chunk}")
+    # Serving embedder: BN folded into the convs (exact at eval; removes
+    # the unfused BN bandwidth passes — PERF.md r2 layer profile), then
+    # int8-static quantization on the folded weights.
+    dtype = jnp.bfloat16 if platform != "cpu" else jnp.float32
+    bn_model = MACVGG(batch_norm=True)
+    bn_vars = bn_model.init(jax.random.PRNGKey(1),
+                            jnp.zeros((8, 256, 256, 3), jnp.float32))
+    embedder = MACVGG(batch_norm=False, int8_all=use_int8,
+                      int8_static=use_int8, dtype=dtype)
+    emb_vars = fold_bn_variables(bn_vars)
     if use_int8:
         # calibrate activation scales on real crops from one detect
-        # pass (production calibrates on the gallery at index build)
+        # pass (production calibrates on the gallery at index build);
+        # reuses the already-compiled `detect` + a small crop-only jit
+        # instead of compiling another full detect graph
         from cvpce_tpu.models.embedders import calibrate_int8_scales
 
         @jax.jit
-        def first_crops(imgs):
-            outputs = gln.apply(gln_vars, imgs)
-            res = postprocess_detections(outputs, anchors_j, level_counts,
-                                         sizes, config)
-            top_boxes = res["boxes"][:, :crops_per_image]
+        def crops_of(imgs, boxes):
+            top_boxes = boxes[:, :crops_per_image]
             crops = jax.vmap(crop_resize_square_mxu)(imgs, top_boxes)
             return scale_to_tanh(crops).reshape(
                 batch * crops_per_image, 256, 256, 3)
 
+        boxes_cal, _, _ = detect(gln_vars, images)
         cal_model = embedder.clone(int8_static=False, int8_calibrate=True)
         emb_vars = calibrate_int8_scales(
-            cal_model, emb_vars, [first_crops(images)[:embed_chunk]])
+            cal_model, emb_vars,
+            [crops_of(images, boxes_cal)[:embed_chunk]])
 
     @jax.jit
     def detect_embed(imgs):
-        outputs = gln.apply(gln_vars, imgs)
+        outputs = gln_serve.apply(gln_vars, imgs)
         res = postprocess_detections(outputs, anchors_j, level_counts,
                                      sizes, config)
         top_boxes = res["boxes"][:, :crops_per_image]

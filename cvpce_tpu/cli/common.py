@@ -84,6 +84,10 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
     static activation scales: the Classifier calibrates on the gallery
     at index-build time (scales persist with saved indexes); standalone
     use self-calibrates on the first batch.
+
+    BN checkpoints serve with the BatchNorms folded into the convs
+    (fold_bn_variables — exact at eval, removes the unfused BN
+    bandwidth passes; PERF.md r2 layer profile).
     """
     if encoder == "resnet50":
         # the int8 flag maps to bf16 for the resnet trunk (int8 conv path
@@ -120,8 +124,12 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
             raise ValueError("unrecognized embedder checkpoint layout")
         variables = _merge(variables, imported)
 
-    from ..models.embedders import EmbedFn
+    from ..models.embedders import EmbedFn, fold_bn_variables
 
+    if batch_norm:
+        variables = fold_bn_variables(variables)
+        model = MACVGG(batch_norm=False, train=False, int8_all=int8,
+                       int8_static=int8, dtype=dtype)
     encode = EmbedFn(model, variables)
     return encode, model.embedding_size
 

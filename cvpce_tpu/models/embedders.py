@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.image import normalize_tanh_imagenet
+from . import quant
 from .layers import max_pool
 from .resnet import ResNet50
 
@@ -50,56 +51,9 @@ def _vgg_plan(batch_norm: bool):
     return plan
 
 
-class Int8Conv(nn.Module):
-    """3x3 same-pad conv on the TPU int8 MXU path: per-tensor activation
-    quantization, per-output-channel weight quantization, int32
-    accumulate, dequantized f32 epilogue. Param names/shapes match nn.Conv
-    ('kernel' HWIO + 'bias'), so f32/bf16 checkpoints load unchanged —
-    quantization happens at apply time.
-
-    Activation scales are dynamic (abs-max over the batch, one extra
-    full-tensor reduction pass per layer) by default. For serving,
-    `static_scale=True` reads a pre-calibrated per-layer scale from the
-    'act_scales' variable collection instead — no reduction pass.
-    `calibrate=True` keeps the dynamic behavior and records the running
-    max into 'act_scales' (apply with mutable=['act_scales']); see
-    `calibrate_int8_scales`."""
-    features: int
-    dtype: Any = jnp.bfloat16
-    static_scale: bool = False
-    calibrate: bool = False
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        cin = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (3, 3, cin, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
-        sv = None
-        if self.static_scale or self.calibrate:
-            sv = self.variable("act_scales", "scale",
-                               lambda: jnp.zeros((), jnp.float32))
-        xf = x.astype(jnp.float32)
-        if self.static_scale and not self.calibrate \
-                and not self.is_initializing():
-            a_scale = jnp.maximum(sv.value, 1e-8)
-        else:
-            a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
-            if sv is not None and not self.is_initializing():
-                sv.value = jnp.maximum(sv.value, a_scale)
-        xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
-        w_scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
-                              1e-8) / 127.0
-        wq = jnp.clip(jnp.round(kernel / w_scale), -127,
-                      127).astype(jnp.int8)
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
-            xq, wq, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
-            preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * (a_scale * w_scale) + bias
-        return y.astype(self.dtype)
+# The quantized conv itself is shared with the detector's int8 path
+# (3x3 same-pad + bias is exactly its default configuration here).
+Int8Conv = quant.Int8Conv
 
 
 # Conv ordinals (1-based through VGG16's 13 convs) where int8 measured
@@ -191,31 +145,46 @@ class MACVGG(nn.Module):
         return desc / jnp.maximum(norm, self.eps)
 
 
-def calibrate_int8_scales(model: "MACVGG", variables, batches):
-    """Record per-layer int8 activation scales for static-scale serving.
+# Embedder-facing name for the shared calibration helper: `model` must
+# be a MACVGG constructed with int8/int8_all and `int8_calibrate=True`;
+# the result feeds an `int8_static=True` twin (see models/quant.py).
+calibrate_int8_scales = quant.calibrate_act_scales
 
-    `model` must be constructed with int8/int8_all and
-    `int8_calibrate=True`. Runs each batch, keeping the running max of
-    every Int8Conv's per-tensor activation scale. Returns `variables`
-    augmented with the resulting 'act_scales' collection, ready for an
-    `int8_static=True` twin of the same model.
+
+def fold_bn_variables(variables):
+    """Fold eval-mode BatchNorms into the preceding convs: MACVGG
+    (batch_norm=True) variables -> MACVGG(batch_norm=False) variables.
+
+    At inference BN is the affine y = (x - mean) / sqrt(var + eps) *
+    gamma + beta, so conv->BN collapses into one conv with
+    kernel' = kernel * s and bias' = (bias - mean) * s + beta where
+    s = gamma / sqrt(var + eps) (per output channel). Exact to f32
+    rounding, and removes 13 full-activation BN passes that XLA does
+    not fuse on the early 256^2/128^2 blocks (measured: conv1_1+bn+relu
+    at 8x the conv's speed-of-light, PERF.md r2 layer profile).
+
+    Works for any checkpoint of the BN model (torchvision vgg16_bn or
+    trained MACVGG); the result serves through the torchvision vgg16
+    (no-BN) layer numbering. BN eps matches nn.BatchNorm's 1e-5.
     """
-    import jax as _jax
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    plan_bn = _vgg_plan(True)
+    plan_plain = _vgg_plan(False)
+    convs_bn = [idx for kind, idx, _ in plan_bn if kind == "conv"]
+    bns = [idx for kind, idx, _ in plan_bn if kind == "bn"]
+    convs_plain = [idx for kind, idx, _ in plan_plain if kind == "conv"]
 
-    @_jax.jit
-    def step(vars_, batch):
-        _, mut = model.apply(vars_, batch, mutable=["act_scales"])
-        return mut["act_scales"]
-
-    scales = None
-    for batch in batches:
-        vars_ = dict(variables)
-        if scales is not None:
-            vars_["act_scales"] = scales
-        scales = step(vars_, batch)
-    out = dict(variables)
-    out["act_scales"] = scales
-    return out
+    new_params = {}
+    for c_bn, b_bn, c_pl in zip(convs_bn, bns, convs_plain):
+        conv_p = params[f"f{c_bn}"]
+        bn_p = params[f"f{b_bn}"]
+        bn_s = stats[f"f{b_bn}"]
+        s = bn_p["scale"] / jnp.sqrt(bn_s["var"] + 1e-5)
+        kernel = conv_p["kernel"] * s
+        bias = (conv_p.get("bias", 0.0) - bn_s["mean"]) * s + bn_p["bias"]
+        new_params[f"f{c_pl}"] = {"kernel": kernel, "bias": bias}
+    return {"params": new_params}
 
 
 class EmbedFn:

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,7 @@ from ..ops.nms import merge_boxes as merge_boxes_op
 from ..ops.nms import nms_mask
 from .fpn import FPN
 from .layers import conv, upsample_nearest_2x
+from .quant import Int8Conv
 from .resnet import ResNet50
 
 Array = jnp.ndarray
@@ -69,6 +70,13 @@ class GLNConfig:
     # fold the gaussian branch's [up2x -> subnet conv1] into one conv at
     # the lower resolution (exact semantics, 4x MXU lane utilization)
     fold_gaussian_upsample: bool = True
+    # int8 MXU serving path for backbone stages + FPN + head towers
+    # (models/quant.py): 'off', 'calibrate' (record act scales into the
+    # 'act_scales' collection), or 'static' (serve with calibrated
+    # scales). The stem, predictors (cls_logits/bbox_reg) and the
+    # Gaussian branch stay in compute_dtype. Same checkpoints; AP parity
+    # validated on trained weights in scripts/detector_int8_check.py.
+    int8: str = "off"
 
     def anchors(self) -> Tuple[np.ndarray, List[int]]:
         return anchor_ops.grid_anchors(self.canvas_h, self.canvas_w)
@@ -82,15 +90,25 @@ class _ConvTower(nn.Module):
     """4x (3x3 conv 256 + ReLU), shared across pyramid levels."""
     features: int = 256
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         for i in range(4):
-            x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                        kernel_init=_head_kernel_init(),
-                        bias_init=nn.initializers.zeros,
-                        dtype=self.dtype,
-                        name=f"conv_{i}")(x)
+            if self.quant:
+                x = Int8Conv(self.features,
+                             kernel_init=_head_kernel_init(),
+                             dtype=self.dtype,
+                             static_scale=self.quant == "static",
+                             calibrate=self.quant == "calibrate",
+                             name=f"conv_{i}")(x)
+            else:
+                x = nn.Conv(self.features, (3, 3),
+                            padding=[(1, 1), (1, 1)],
+                            kernel_init=_head_kernel_init(),
+                            bias_init=nn.initializers.zeros,
+                            dtype=self.dtype,
+                            name=f"conv_{i}")(x)
             x = nn.relu(x)
         return x
 
@@ -100,11 +118,16 @@ class RetinaNetHead(nn.Module):
     num_anchors: int = 9
     prior_probability: float = 0.01
     dtype: Any = jnp.float32
+    # int8 towers; the final cls_logits/bbox_reg predictors always stay
+    # in compute dtype (their outputs feed thresholds/box decode)
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, features: Sequence[Array]) -> Tuple[Array, Array]:
-        cls_tower = _ConvTower(dtype=self.dtype, name="cls_tower")
-        reg_tower = _ConvTower(dtype=self.dtype, name="reg_tower")
+        cls_tower = _ConvTower(dtype=self.dtype, quant=self.quant,
+                               name="cls_tower")
+        reg_tower = _ConvTower(dtype=self.dtype, quant=self.quant,
+                               name="reg_tower")
         bias_value = -math.log(
             (1 - self.prior_probability) / self.prior_probability
         )
@@ -252,8 +275,10 @@ class GLN(nn.Module):
     @nn.compact
     def __call__(self, images: Array) -> Dict[str, Array]:
         dt = jnp.dtype(self.config.compute_dtype)
-        feats = ResNet50(norm="frozen", dtype=dt, name="body")(images)
-        pyramid = FPN(dtype=dt, name="fpn")(
+        quant = None if self.config.int8 == "off" else self.config.int8
+        feats = ResNet50(norm="frozen", dtype=dt, quant=quant,
+                         name="body")(images)
+        pyramid = FPN(dtype=dt, quant=quant, name="fpn")(
             feats["c3"], feats["c4"], feats["c5"])
         heatmap = GaussianBranch(
             tanh=self.config.tanh, train=self.train, dtype=dt,
@@ -261,7 +286,8 @@ class GLN(nn.Module):
             name="gaussian"
         )(feats["c2"], pyramid[0])
         cls_logits, bbox_regression = RetinaNetHead(
-            num_classes=self.config.num_classes, dtype=dt, name="head"
+            num_classes=self.config.num_classes, dtype=dt, quant=quant,
+            name="head"
         )(pyramid)
         return {
             "cls_logits": cls_logits,          # (B, A, K)

@@ -12,12 +12,13 @@ outputs).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import FrozenBatchNorm, conv, max_pool
+from .quant import qconv
 
 Array = jnp.ndarray
 
@@ -52,24 +53,32 @@ class Bottleneck(nn.Module):
     norm: str = "frozen"
     train: bool = False
     dtype: Any = jnp.float32
+    quant: Optional[str] = None  # None | 'static' | 'calibrate' | 'dynamic'
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         dt = self.dtype
+
+        def _c(features, kernel, strides=1, name=None):
+            if self.quant:
+                return qconv(features, kernel, strides=strides, name=name,
+                             dtype=dt, quant=self.quant)
+            return conv(features, kernel, strides=strides, name=name,
+                        dtype=dt)
+
         residual = x
-        y = conv(self.features, 1, name="conv1", dtype=dt)(x)
+        y = _c(self.features, 1, name="conv1")(x)
         y = _Norm(self.features, self.norm, self.train, dt, name="bn1")(y)
         y = nn.relu(y)
-        y = conv(self.features, 3, strides=self.strides, name="conv2",
-                 dtype=dt)(y)
+        y = _c(self.features, 3, strides=self.strides, name="conv2")(y)
         y = _Norm(self.features, self.norm, self.train, dt, name="bn2")(y)
         y = nn.relu(y)
-        y = conv(self.features * 4, 1, name="conv3", dtype=dt)(y)
+        y = _c(self.features * 4, 1, name="conv3")(y)
         y = _Norm(self.features * 4, self.norm, self.train, dt,
                   name="bn3")(y)
         if self.downsample:
-            residual = conv(self.features * 4, 1, strides=self.strides,
-                            name="downsample_conv", dtype=dt)(x)
+            residual = _c(self.features * 4, 1, strides=self.strides,
+                          name="downsample_conv")(x)
             residual = _Norm(self.features * 4, self.norm, self.train, dt,
                              name="downsample_bn")(residual)
         return nn.relu(y + residual)
@@ -80,6 +89,10 @@ class ResNet50(nn.Module):
     train: bool = False
     stages: Sequence[int] = RESNET50_STAGES
     dtype: Any = jnp.float32
+    # int8 MXU serving path for all stage convs (models/quant.py); the
+    # 7x7 stem stays bf16 — its 3-channel input makes quantization
+    # overhead dominate (same finding as MACVGG conv1_1, PERF.md r2)
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Dict[str, Array]:
@@ -103,6 +116,7 @@ class ResNet50(nn.Module):
                     norm=self.norm,
                     train=self.train,
                     dtype=self.dtype,
+                    quant=self.quant,
                     name=f"layer{stage_i + 1}_{block_i}",
                 )(y)
             feats[f"c{stage_i + 2}"] = y

@@ -1,0 +1,135 @@
+"""Detector int8-static validation on TRAINED weights + speed check.
+
+Two questions gate making int8 a detector serving option/default:
+1. AP parity: does the quantized trunk/FPN/towers keep AP on the
+   trained GLN (the 3000-step synthetic-shelves checkpoint, AP 0.889,
+   reports/convergence_gln_r2_resumed.log)?
+2. Speed: what does int8 do to the full-canvas (832x1344) forward that
+   the bench measures?
+
+Usage: python scripts/detector_int8_check.py [--ckpt /tmp/convergence_run]
+Prints JSON lines (run on the real v5e; ~15 min of remote compiles).
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def report(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="/tmp/convergence_run")
+    ap.add_argument("--skip-speed", action="store_true")
+    ap.add_argument("--skip-ap", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvpce_tpu.data.synthetic import SyntheticShelfDataset
+    from cvpce_tpu.eval.proposals import (evaluate_gln,
+                                          make_variables_inference_fn)
+    from cvpce_tpu.models.gln import GLN, GLNConfig
+    from cvpce_tpu.models.quant import calibrate_act_scales
+    from cvpce_tpu.train.checkpoint import CheckpointManager
+    from cvpce_tpu.train.gln import GLNTrainConfig, init_train_state
+
+    platform = jax.devices()[0].platform
+    report(platform=platform)
+
+    # ---- AP parity on the trained checkpoint (256x320 canvas) ----
+    if not args.skip_ap:
+        h, w = 256, 320
+        cfg = GLNConfig(canvas_h=h, canvas_w=w, max_nms_candidates=1024,
+                        detections_per_img=256,
+                        use_pallas_nms=platform not in ("cpu",))
+        state, _ = init_train_state(
+            cfg, GLNTrainConfig(lr=0.0025, match_chunk=8192,
+                                min_negatives=256),
+            jax.random.PRNGKey(0))
+        state = CheckpointManager(args.ckpt).restore(state)
+        variables = {"params": state.params, "frozen": state.frozen,
+                     "batch_stats": state.batch_stats}
+        report(ckpt_step=int(state.step))
+
+        trainset = SyntheticShelfDataset(8, h, w, seed=0, min_shelves=3,
+                                         max_shelves=5)
+        evalset = SyntheticShelfDataset(16, h, w, seed=10_000,
+                                        min_shelves=3, max_shelves=5)
+        cal_imgs = jnp.asarray(np.stack(
+            [trainset[i]["image"] for i in range(8)]))
+
+        variants = {"f32": cfg,
+                    "bf16": dataclasses.replace(
+                        cfg, compute_dtype="bfloat16"),
+                    "int8_static": dataclasses.replace(
+                        cfg, compute_dtype="bfloat16", int8="static")}
+        v_by_variant = {"f32": variables, "bf16": variables}
+        cal_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16",
+                                      int8="calibrate")
+        v_by_variant["int8_static"] = calibrate_act_scales(
+            GLN(config=cal_cfg), variables, [cal_imgs[:4], cal_imgs[4:]])
+        report(calibrated=len(jax.tree.leaves(
+            v_by_variant["int8_static"]["act_scales"])))
+
+        for name, vcfg in variants.items():
+            infer_fn = make_variables_inference_fn(vcfg)
+            t0 = time.time()
+            res = evaluate_gln(v_by_variant[name], evalset, vcfg,
+                               batch_size=4, infer_fn=infer_fn)
+            r = res[0.5]
+            report(variant=name, ap=round(float(r["ap"]), 4),
+                   ar300=round(float(r["ar_300"]), 4),
+                   f1=round(float(r["f"]), 4),
+                   wall=round(time.time() - t0, 1))
+
+    # ---- full-canvas forward speed (random weights, bench shape) ----
+    if not args.skip_speed:
+        cfg_full = GLNConfig(compute_dtype="bfloat16")
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(0, 1, (4, 832, 1344, 3))
+                           .astype(np.float32))
+        base = GLN(config=cfg_full)
+        vars_full = base.init(jax.random.PRNGKey(1), imgs[:1])
+        cal_cfg = dataclasses.replace(cfg_full, int8="calibrate")
+        v_cal = calibrate_act_scales(GLN(config=cal_cfg), vars_full,
+                                     [imgs[:1]])
+
+        for name, vcfg, v in [
+                ("bf16", cfg_full, vars_full),
+                ("int8_static",
+                 dataclasses.replace(cfg_full, int8="static"), v_cal)]:
+            model = GLN(config=vcfg)
+
+            @jax.jit
+            def fwd(vv, x, model=model):
+                out = model.apply(vv, x)
+                return (jnp.sum(out["cls_logits"].astype(jnp.float32)) +
+                        jnp.sum(out["gaussians"].astype(jnp.float32)))
+
+            for _ in range(2):
+                fwd(v, imgs).block_until_ready()
+            t0 = time.perf_counter()
+            iters = 10
+            for _ in range(iters):
+                out = fwd(v, imgs)
+            out.block_until_ready()
+            dt = (time.perf_counter() - t0) / iters
+            report(speed=name, ms=round(dt * 1000, 2),
+                   img_per_s=round(4 / dt, 1))
+
+    report(name="DONE")
+
+
+if __name__ == "__main__":
+    main()
