@@ -79,9 +79,9 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
     encoder='vgg16': MACVGG; accepts torchvision vgg16(_bn) or reference
     MACVGG checkpoints. encoder='resnet50': MACResNet; accepts torchvision
     resnet50 state_dicts (cvpce/cli/dihe.py:257-309 offers both trunks).
-    int8: MACVGG int8 MXU serving path (same checkpoints; ~1.4x embed
-    throughput on v5e at small embedding-fidelity cost). Uses calibrated
-    static activation scales: the Classifier calibrates on the gallery
+    int8: calibrated static-scale int8 MXU serving path for either
+    trunk (same checkpoints; ~1.4x embed throughput on v5e at small
+    embedding-fidelity cost): the Classifier calibrates on the gallery
     at index-build time (scales persist with saved indexes); standalone
     use self-calibrates on the first batch.
 
@@ -90,9 +90,7 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
     bandwidth passes; PERF.md r2 layer profile).
     """
     if encoder == "resnet50":
-        # the int8 flag maps to bf16 for the resnet trunk (int8 conv path
-        # is VGG-specific; bf16 is the resnet fast mode)
-        return _load_macresnet(weights, bf16=int8)
+        return _load_macresnet(weights, int8=int8)
     dtype = jnp.bfloat16 if int8 else jnp.float32
     model = MACVGG(batch_norm=batch_norm, train=False, int8_all=int8,
                    int8_static=int8, dtype=dtype)
@@ -134,11 +132,16 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
     return encode, model.embedding_size
 
 
-def _load_macresnet(weights: Optional[str], bf16: bool = False):
-    from ..models.embedders import MACResNet
+def _load_macresnet(weights: Optional[str], int8: bool = False):
+    """int8 -> calibrated static-scale int8 trunk convs on a bf16 base
+    (models/quant.py; same lifecycle as the MACVGG path — the
+    Classifier calibrates on the gallery and persists scales with the
+    index)."""
+    from ..models.embedders import EmbedFn, MACResNet
 
     model = MACResNet(train=False,
-                      dtype=jnp.bfloat16 if bf16 else jnp.float32)
+                      dtype=jnp.bfloat16 if int8 else jnp.float32,
+                      quant="static" if int8 else None)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32))
     if weights is not None:
@@ -149,10 +152,7 @@ def _load_macresnet(weights: Optional[str], bf16: bool = False):
                                    flax_prefix=["trunk"])
         variables = _merge(variables, imported)
 
-    @jax.jit
-    def encode(imgs):
-        return model.apply(variables, imgs)
-
+    encode = EmbedFn(model, variables)
     return encode, model.embedding_size
 
 

@@ -203,7 +203,11 @@ class EmbedFn:
         self.model = model
         self.variables = variables
         self._apply = jax.jit(model.apply)
-        self.needs_calibration = bool(getattr(model, "int8_static", False))
+        # MACVGG marks static int8 with int8_static; MACResNet (and the
+        # detector models) with quant='static'
+        self.needs_calibration = bool(
+            getattr(model, "int8_static", False)
+            or getattr(model, "quant", None) == "static")
         self._calibrated = not self.needs_calibration
 
     @property
@@ -216,7 +220,10 @@ class EmbedFn:
         return self._apply(self.variables, imgs)
 
     def calibrate(self, batches) -> None:
-        cal = self.model.clone(int8_static=False, int8_calibrate=True)
+        if getattr(self.model, "int8_static", False):
+            cal = self.model.clone(int8_static=False, int8_calibrate=True)
+        else:
+            cal = self.model.clone(quant="calibrate")
         self.variables = calibrate_int8_scales(cal, self.variables,
                                                batches)
         self._calibrated = True
@@ -241,11 +248,16 @@ class MACResNet(nn.Module):
 
     descriptor_stages are reference `descriptor_layers` + 2 in our stage
     naming (reference layers [2, 3] == stages c3, c4 -> 1536-d).
+
+    `quant`: int8 MXU serving for the trunk stage convs (models/quant.py
+    modes 'static'/'calibrate'/'dynamic'; stem stays in dtype) — same
+    calibrate-then-serve lifecycle as MACVGG int8_static.
     """
     descriptor_stages: Sequence[str] = ("c3", "c4")
     train: bool = False
     eps: float = 1e-8
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @property
     def embedding_size(self) -> int:
@@ -255,7 +267,7 @@ class MACResNet(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         feats = ResNet50(norm="batch", train=self.train, dtype=self.dtype,
-                         name="trunk")(x)
+                         quant=self.quant, name="trunk")(x)
         descs = [jnp.max(feats[s], axis=(1, 2)).astype(jnp.float32)
                  for s in self.descriptor_stages]
         desc = jnp.concatenate(descs, axis=1)

@@ -77,6 +77,14 @@ class GLNConfig:
     # Gaussian branch stay in compute_dtype. Same checkpoints; AP parity
     # validated on trained weights in scripts/detector_int8_check.py.
     int8: str = "off"
+    # Serving option: skip the Gaussian heatmap branch entirely. The
+    # detect -> classify -> compliance production path never consumes
+    # the heatmap — the reference computes it unconditionally only
+    # because its module stashes it for eval visualization
+    # (cvpce/models/proposals.py:125-137). The branch is ~17 ms of the
+    # ~24 ms single-chip detector forward (PERF.md r2), so gating it is
+    # the single biggest detector serving lever. Training/eval keep it.
+    with_gaussians: bool = True
 
     def anchors(self) -> Tuple[np.ndarray, List[int]]:
         return anchor_ops.grid_anchors(self.canvas_h, self.canvas_w)
@@ -280,20 +288,25 @@ class GLN(nn.Module):
                          name="body")(images)
         pyramid = FPN(dtype=dt, quant=quant, name="fpn")(
             feats["c3"], feats["c4"], feats["c5"])
-        heatmap = GaussianBranch(
-            tanh=self.config.tanh, train=self.train, dtype=dt,
-            fold_upsample=self.config.fold_gaussian_upsample,
-            name="gaussian"
-        )(feats["c2"], pyramid[0])
+        # The branch module must be CONSTRUCTED even when gated so the
+        # param tree (and thus checkpoint compatibility) is unchanged;
+        # flax only materializes params for modules actually called, so
+        # gate at the call site but keep init covered via train/eval
+        # configs (with_gaussians=True there).
+        out = {}
+        if self.config.with_gaussians:
+            out["gaussians"] = GaussianBranch(          # (B, H/2, W/2, 1)
+                tanh=self.config.tanh, train=self.train, dtype=dt,
+                fold_upsample=self.config.fold_gaussian_upsample,
+                name="gaussian"
+            )(feats["c2"], pyramid[0])
         cls_logits, bbox_regression = RetinaNetHead(
             num_classes=self.config.num_classes, dtype=dt, quant=quant,
             name="head"
         )(pyramid)
-        return {
-            "cls_logits": cls_logits,          # (B, A, K)
-            "bbox_regression": bbox_regression,  # (B, A, 4)
-            "gaussians": heatmap,               # (B, H/2, W/2, 1)
-        }
+        out["cls_logits"] = cls_logits               # (B, A, K)
+        out["bbox_regression"] = bbox_regression     # (B, A, 4)
+        return out
 
 
 def postprocess_detections(
@@ -409,9 +422,11 @@ def postprocess_detections(
     boxes, scores, valid = jax.vmap(per_image)(
         outputs["cls_logits"], outputs["bbox_regression"], image_sizes
     )
-    return {
+    res = {
         "boxes": boxes,
         "scores": scores,
         "valid": valid,
-        "gaussians": outputs["gaussians"],
     }
+    if "gaussians" in outputs:
+        res["gaussians"] = outputs["gaussians"]
+    return res

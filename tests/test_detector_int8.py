@@ -71,3 +71,29 @@ def test_checkpoint_params_identical(gln_setup):
     p1 = jax.tree.map(lambda a: a.shape, variables["params"])
     p2 = jax.tree.map(lambda a: a.shape, v2["params"])
     assert p1 == p2
+
+
+def test_with_gaussians_gate(gln_setup):
+    """GLNConfig(with_gaussians=False): same boxes/scores, no heatmap,
+    and the full param tree (incl. gaussian branch) still loads."""
+    from cvpce_tpu.models.gln import postprocess_detections
+
+    cfg, base, x, variables = gln_setup
+    gated = GLN(config=dataclasses.replace(cfg, with_gaussians=False))
+    out_g = gated.apply(variables, x)
+    assert "gaussians" not in out_g
+    ref = base.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_g["cls_logits"]),
+                               np.asarray(ref["cls_logits"]))
+    np.testing.assert_allclose(np.asarray(out_g["bbox_regression"]),
+                               np.asarray(ref["bbox_regression"]))
+
+    anchors, counts = cfg.anchors()
+    sizes = jnp.full((1, 2), 128.0)
+    res = postprocess_detections(out_g, jnp.asarray(anchors), counts,
+                                 sizes, cfg)
+    assert "gaussians" not in res
+    res_ref = postprocess_detections(ref, jnp.asarray(anchors), counts,
+                                     sizes, cfg)
+    np.testing.assert_allclose(np.asarray(res["boxes"]),
+                               np.asarray(res_ref["boxes"]))

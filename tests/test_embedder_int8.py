@@ -109,3 +109,26 @@ def test_int8_static_scales_calibrate_and_match_dynamic():
     e = np.asarray(base.apply(variables, x))
     sims = e_static @ e.T
     assert (np.argmax(sims, axis=1) == np.arange(len(x))).all()
+
+
+def test_macresnet_int8_static_roundtrip():
+    """MACResNet quant='static': calibrate-then-serve matches the f32
+    trunk closely (cos) and EmbedFn drives the lifecycle."""
+    from cvpce_tpu.models.embedders import EmbedFn, MACResNet
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    base = MACResNet(train=False)
+    variables = base.init(jax.random.PRNGKey(0), x)
+
+    enc = EmbedFn(MACResNet(train=False, dtype=jnp.bfloat16,
+                            quant="static"), variables)
+    assert enc.needs_calibration
+    e8 = np.asarray(enc(x))  # self-calibrates on first batch
+    assert enc.get_scales() is not None
+    # 52 quantized convs: 16 bottlenecks x 3 + 4 downsample (stem excluded)
+    assert len(jax.tree.leaves(enc.get_scales())) == 52
+
+    ref = np.asarray(base.apply(variables, x))
+    cos = (e8 * ref).sum(-1)
+    assert (cos > 0.98).all(), cos

@@ -65,3 +65,4 @@ def test_fold_bn_int8_static_path():
     ref = np.asarray(model.apply(variables, x))
     cos = (e8 * ref).sum(-1)
     assert (cos > 0.99).all(), cos
+
