@@ -72,3 +72,21 @@ def test_gallery_render():
         h, w, _ = g.shape
         px = g[h // 10 + 4, w // 2]
         assert np.linalg.norm(px - np.clip(s["color"] * 1.0, 0, 1)) < 0.35
+
+
+def test_comparator_exact_on_clean_inputs():
+    """The full compliance machinery (graph build -> MCS -> RANSAC ->
+    per-label IoU matching) recovers expected compliance EXACTLY when
+    fed ground-truth boxes/labels — scripts/e2e_trained_pipeline.py's
+    oracle column, pinned here (reference path:
+    cvpce/production.py:86-116)."""
+    from cvpce_tpu.pipeline.evaluator import PlanogramComparator
+
+    st = product_styles(12)
+    comp = PlanogramComparator()
+    for vr in (0.0, 0.2, 0.3):
+        img, plano, actual, expected = planogram_scene(
+            256, 320, st, np.random.default_rng((41, 1)),
+            violation_rate=vr)
+        c = comp.compare(plano, actual, image=img)
+        assert abs(c - expected) < 1e-6, (vr, c, expected)
