@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--lr", type=float, default=0.0025)
     ap.add_argument("--out", default="/tmp/convergence_run")
     ap.add_argument("--target-ap", type=float, default=0.8)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from --out's rotating checkpoint "
+                         "(epoch counter resumes; raise --epochs past "
+                         "the prior run's count)")
     args = ap.parse_args()
 
     import jax
@@ -86,7 +90,7 @@ def main():
             epochs=args.epochs, checkpoint_interval=args.steps_per_call,
             eval_interval=1, eval_threshold=0.5, use_mesh=False,
             steps_per_call=args.steps_per_call, hyperopt_report=report,
-            seed=0)
+            resume=args.resume, seed=0)
     except TargetReached:
         print(json.dumps({"early_stop": True}), flush=True)
 
