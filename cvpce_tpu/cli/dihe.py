@@ -121,8 +121,12 @@ def train(source, imgs, annotations, test_imgs, test_annotations, out,
               help="prebuilt classifier index (skips gallery embedding)")
 @click.option("--validation", is_flag=True,
               help="first 2 annotations per image (defaults.py:24-26)")
+@click.option("--sharded-gallery", is_flag=True,
+              help="shard the gallery across all devices "
+                   "(ops/knn_sharded.py pod-scale search)")
 def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
-             weights, k, batch_size, encoder, int8, index, validation):
+             weights, k, batch_size, encoder, int8, index, validation,
+             sharded_gallery):
     """Gallery-kNN classification accuracy (cvpce/cli/dihe.py:257-309)."""
     from ..data.grocery import (GroceryProductsDataset,
                                 GroceryProductsTestSet)
@@ -130,6 +134,11 @@ def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
 
     encoder_fn, emb_size = load_embedder(weights, encoder=encoder,
                                          int8=int8)
+    mesh = None
+    if sharded_gallery:
+        from ..parallel.mesh import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
     sampleset = None if index else GroceryProductsDataset(
         list(source), random_crop=False, include_annotations=True)
     testset = GroceryProductsTestSet(
@@ -138,7 +147,7 @@ def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
         skip=None if validation else defaults.GP_TEST_VALIDATION_SET_SIZE)
     accuracy = eval_dihe(encoder_fn, emb_size, sampleset, testset,
                          batch_size=batch_size, k=tuple(k),
-                         load_index=index)
+                         load_index=index, mesh=mesh)
     click.echo(json.dumps({str(kk): v for kk, v in accuracy.items()}))
 
 

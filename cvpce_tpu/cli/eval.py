@@ -26,11 +26,14 @@ def _pipeline_options(f):
     f = click.option("--confidence", default=0.5, show_default=True)(f)
     f = click.option("--fast", is_flag=True,
                      help="bf16 + approx top-k TPU speed path")(f)
+    f = click.option("--sharded-gallery", is_flag=True,
+                     help="shard the gallery index across all devices "
+                          "(ops/knn_sharded.py pod-scale search)")(f)
     return f
 
 
 def _build_pipeline(gln_weights, encoder_weights, source, index,
-                    confidence, k=1, fast=False):
+                    confidence, k=1, fast=False, sharded_gallery=False):
     from ..data.grocery import GroceryProductsDataset
     from ..pipeline.classifier import Classifier
     from ..pipeline.proposals import ProposalGenerator
@@ -41,12 +44,19 @@ def _build_pipeline(gln_weights, encoder_weights, source, index,
                                   confidence_threshold=confidence)
     # --fast extends to the embed stage: int8 MXU convs (vgg16 path)
     encoder_fn, emb_size = load_embedder(encoder_weights, int8=fast)
+    mesh = None
+    if sharded_gallery:
+        from ..parallel.mesh import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
     if index:
-        classifier = Classifier(encoder_fn, emb_size, load=index, k=k)
+        classifier = Classifier(encoder_fn, emb_size, load=index, k=k,
+                                mesh=mesh)
     else:
         sampleset = GroceryProductsDataset(list(source), random_crop=False,
                                            include_annotations=True)
-        classifier = Classifier(encoder_fn, emb_size, sampleset, k=k)
+        classifier = Classifier(encoder_fn, emb_size, sampleset, k=k,
+                                mesh=mesh)
     return generator, classifier
 
 
@@ -55,15 +65,16 @@ def _build_pipeline(gln_weights, encoder_weights, source, index,
 @click.option("--coco", is_flag=True)
 @click.option("--out", default=None)
 def eval_product_detection(gln_weights, encoder_weights, source, test_imgs,
-                           test_annotations, index, confidence, fast, coco,
-                           out):
+                           test_annotations, index, confidence, fast,
+                           sharded_gallery, coco, out):
     """GLN+DIHE product detection mAP/mAR300 on GP-180
     (cvpce/cli/eval.py:12-71)."""
     from ..data.grocery import GroceryProductsTestSet
     from ..eval.detection import evaluate_detections, mean_average_metrics
 
     generator, classifier = _build_pipeline(
-        gln_weights, encoder_weights, source, index, confidence, fast=fast)
+        gln_weights, encoder_weights, source, index, confidence, fast=fast,
+        sharded_gallery=sharded_gallery)
     testset = GroceryProductsTestSet(test_imgs, test_annotations)
     thresholds = tuple(np.arange(0.5, 1.0, 0.05).round(2)) if coco else (0.5,)
     per_class, overall = evaluate_detections(generator, classifier, testset,
@@ -88,8 +99,8 @@ def eval_product_detection(gln_weights, encoder_weights, source, test_imgs,
               help="internal planoset dir instead of GP-180")
 @click.option("--out", default=None)
 def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
-                    test_annotations, index, confidence, fast, plano_dir,
-                    internal, out):
+                    test_annotations, index, confidence, fast,
+                    sharded_gallery, plano_dir, internal, out):
     """End-to-end compliance eval: mean accuracy + MSE vs ground truth
     (cvpce/cli/eval.py:160-240)."""
     from ..data.planograms import InternalPlanoSet, PlanogramTestSet
@@ -97,7 +108,8 @@ def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
     from ..pipeline.evaluator import PlanogramComparator, PlanogramEvaluator
 
     generator, classifier = _build_pipeline(
-        gln_weights, encoder_weights, source, index, confidence, fast=fast)
+        gln_weights, encoder_weights, source, index, confidence, fast=fast,
+        sharded_gallery=sharded_gallery)
     if internal:
         planoset = InternalPlanoSet(internal)
     else:
@@ -117,7 +129,8 @@ def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
 @click.argument("image", type=click.Path(exists=True))
 @click.option("--out", required=True)
 def rebuild_scene(gln_weights, encoder_weights, source, test_imgs,
-                  test_annotations, index, confidence, fast, image, out):
+                  test_annotations, index, confidence, fast,
+                  sharded_gallery, image, out):
     """Paste gallery images at detection positions
     (cvpce/cli/eval.py:73-158)."""
     import matplotlib
@@ -128,7 +141,8 @@ def rebuild_scene(gln_weights, encoder_weights, source, test_imgs,
     from ..data.grocery import GroceryProductsDataset
 
     generator, classifier = _build_pipeline(
-        gln_weights, encoder_weights, source, index, confidence, fast=fast)
+        gln_weights, encoder_weights, source, index, confidence, fast=fast,
+        sharded_gallery=sharded_gallery)
     gallery = GroceryProductsDataset(list(source), random_crop=False,
                                      include_annotations=True)
     img = T.load_image(image)
@@ -168,7 +182,7 @@ def rebuild_scene(gln_weights, encoder_weights, source, test_imgs,
 @click.option("--out", required=True)
 def plot_planogram_eval(gln_weights, encoder_weights, source, test_imgs,
                         test_annotations, index, confidence, fast,
-                        plano_dir, store, image_id, out):
+                        sharded_gallery, plano_dir, store, image_id, out):
     """Step-by-step compliance visualization (cvpce/cli/eval.py:242-371):
     detections, planogram layout, matched/missing products."""
     import matplotlib
@@ -179,7 +193,8 @@ def plot_planogram_eval(gln_weights, encoder_weights, source, test_imgs,
     from ..pipeline import planograms as pg
 
     generator, classifier = _build_pipeline(
-        gln_weights, encoder_weights, source, index, confidence, fast=fast)
+        gln_weights, encoder_weights, source, index, confidence, fast=fast,
+        sharded_gallery=sharded_gallery)
     planoset = PlanogramTestSet(test_imgs, test_annotations, plano_dir)
     idx = planoset.get_index_for(store, image_id)
     if idx is None:

@@ -23,13 +23,19 @@ class Classifier:
     def __init__(self, encoder_fn: Callable[[Array], Array],
                  embedding_size: int,
                  sample_set=None, batch_size: int = 32, k: int = 1,
-                 load: Optional[str] = None, verbose: bool = False):
+                 load: Optional[str] = None, verbose: bool = False,
+                 mesh=None):
         """
         Args:
           encoder_fn: jitted (B, 256, 256, 3) [-1,1]-scaled -> (B, D)
             embedding function (already closed over params).
           sample_set: dataset yielding (emb_img, gen_img, hierarchy, ann)
             tuples (gp_annotated semantics) or (img, img, cls, cls).
+          mesh: optional 1-D jax.sharding.Mesh — the gallery lives
+            row-sharded across its devices and searches run via
+            ops/knn_sharded.py (per-shard top-k + all_gather merge,
+            result identical to the single-device path). Scales index
+            HBM with chip count for pod-size galleries.
         """
         self.encoder_fn = encoder_fn
         self.embedding_size = embedding_size
@@ -46,6 +52,19 @@ class Classifier:
             assert sample_set is not None
             self.embedding, self.annotations = self.build_index(
                 sample_set, verbose)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..ops.knn_sharded import (gallery_sharding,
+                                           make_sharded_nn, pad_gallery)
+
+            padded, valid = pad_gallery(self.embedding,
+                                        mesh.devices.size)
+            sh = gallery_sharding(mesh)
+            self._anchors_dev = jax.device_put(jnp.asarray(padded), sh)
+            self._valid_dev = jax.device_put(jnp.asarray(valid), sh)
+            self._sharded_search = make_sharded_nn(mesh, k)
+            self._use_fused = False
+            return
         # keep the gallery resident on device; re-uploading it per
         # classify() call costs more than the search itself
         self._anchors_dev = jnp.asarray(self.embedding)
@@ -127,7 +146,11 @@ class Classifier:
             batch = images[start:start + self.batch_size]
             emb = self._embed(np.asarray(batch))
             embs.append(emb)
-            if self._use_fused:
+            if self.mesh is not None:
+                _, nearest = self._sharded_search(
+                    self._anchors_dev, self._valid_dev, jnp.asarray(emb))
+                nearest = np.asarray(nearest)
+            elif self._use_fused:
                 from ..ops.knn_pallas import nearest_neighbors_fused
 
                 _, nearest = nearest_neighbors_fused(
