@@ -75,6 +75,47 @@ class TestShardedKNN:
             assert (np.diff(d, axis=1) >= -1e-7).all()
 
 
+@pytest.mark.slow
+def test_cli_dihe_eval_sharded_gallery(mesh, tmp_path):
+    """`dihe eval --sharded-gallery` through the real CLI entry point:
+    the flag must build the mesh, shard the index, and produce the same
+    accuracy dict shape as the single-device path."""
+    import json
+
+    from click.testing import CliRunner
+    from PIL import Image
+
+    from cvpce_tpu.cli import cli
+
+    rng = np.random.default_rng(3)
+    gal = tmp_path / "gal"
+    for cat, name in [("Food/Bakery", "p1"), ("Food/Dairy", "p2")]:
+        d = gal / cat
+        d.mkdir(parents=True, exist_ok=True)
+        arr = rng.uniform(0, 255, (64, 48, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{name}.jpg")
+    ann_dir = tmp_path / "ann"
+    ann_dir.mkdir()
+    (ann_dir / "s1_1.csv").write_text(
+        "Food/Bakery/p1.jpg, 5, 5, 45, 60\n"
+        "Food/Dairy/p2.jpg, 50, 5, 90, 60\n")
+    img_dir = tmp_path / "imgs"
+    (img_dir / "store1" / "images").mkdir(parents=True)
+    shelf = rng.uniform(0, 255, (80, 100, 3)).astype(np.uint8)
+    Image.fromarray(shelf).save(
+        img_dir / "store1" / "images" / "store1_1.jpg")
+
+    args = [
+        "dihe", "eval", "--source", str(gal), "--validation",
+        "--test-imgs", str(img_dir), "--test-annotations", str(ann_dir),
+        "--batch-size", "2", "--k", "1"]
+    r = CliRunner().invoke(cli, args + ["--sharded-gallery"])
+    assert r.exit_code == 0, r.output
+    acc = json.loads(r.output.strip().splitlines()[-1])
+    assert set(acc) == {"1"}
+    assert 0.0 <= acc["1"] <= 1.0
+
+
 class TestClassifierSharded:
     def test_classifier_mesh_equivalence(self, mesh):
         from tests.test_classifier import _GallerySet, _stub_encoder
