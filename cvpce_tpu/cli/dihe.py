@@ -65,9 +65,12 @@ def pretrain_gan_cmd(source, imgs, annotations, out, epochs, batch_size,
 @click.option("--no-batchnorm", is_flag=True)
 @click.option("--hyperopt-params", is_flag=True,
               help="enc lr 8e-7, multiplier 0.9 (cli/dihe.py:159-162)")
+@click.option("--grain", is_flag=True,
+              help="grain input pipeline (deterministic multi-host "
+                   "order, mid-epoch resumable)")
 def train(source, imgs, annotations, test_imgs, test_annotations, out,
           gan_path, epochs, batch_size, masks, no_batchnorm,
-          hyperopt_params):
+          hyperopt_params, grain):
     """Train DIHE (cvpce/cli/dihe.py:77-167)."""
     from ..data.grocery import (GroceryProductsDataset,
                                 GroceryProductsTestSet)
@@ -97,9 +100,14 @@ def train(source, imgs, annotations, test_imgs, test_annotations, out,
         abstract = init(jax.random.PRNGKey(0),
                         gen_channels=4 if masks else 3)
         gan_state = manager.restore(abstract)
+    kwargs = {}
+    if grain:
+        from ..data.grain_loader import GrainLoader
+
+        kwargs["loader_cls"] = GrainLoader
     train_dihe(dataset, discset, dataset, evalset, out,
                gan_state=gan_state, epochs=epochs, batch_size=batch_size,
-               train_cfg=cfg)
+               train_cfg=cfg, **kwargs)
 
 
 @dihe.command("eval")

@@ -84,9 +84,12 @@ def build_assistant(canvas):
 @click.option("--gauss-loss-pos-thresh", default=0.1, show_default=True)
 @click.option("--hyperopt-params", is_flag=True,
               help="use the hyper-optimized params (cli/gln.py:124-126)")
+@click.option("--grain", is_flag=True,
+              help="grain input pipeline (deterministic multi-host "
+                   "order, mid-epoch resumable)")
 def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
           tanh, method, batch_size, epochs, gauss_loss_neg_thresh,
-          gauss_loss_pos_thresh, hyperopt_params):
+          gauss_loss_pos_thresh, hyperopt_params, grain):
     """Train GLN on SKU-110K (cvpce/cli/gln.py:59-133). Best model used
     `--tanh --method simple --hyperopt-params`."""
     from ..data.sku110k import SKU110KDataset
@@ -112,10 +115,15 @@ def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
         evalimgs or imgs, evalannotations or annotations,
         skip=defaults.SKU110K_SKIP, flip_chance=0.0,
         canvas_h=model_cfg.canvas_h, canvas_w=model_cfg.canvas_w)
+    kwargs = {}
+    if grain:
+        from ..data.grain_loader import GrainLoader
+
+        kwargs["loader_cls"] = GrainLoader
     train_proposal_generator(
         dataset, evalset, out, model_cfg=model_cfg, train_cfg=train_cfg,
         batch_size=batch_size, epochs=epochs, resume=resume,
-        load_torch=load)
+        load_torch=load, **kwargs)
 
 
 @gln.command("eval")

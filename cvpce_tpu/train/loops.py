@@ -43,6 +43,7 @@ def train_proposal_generator(
     load_torch: Optional[str] = None,
     hyperopt_report=None, seed: int = 0,
     steps_per_call: int = 1,
+    loader_cls: type = PrefetchLoader,
 ) -> Dict:
     """GLN training loop (cvpce/proposals_training.py:123-271).
 
@@ -55,12 +56,16 @@ def train_proposal_generator(
     steps and only the per-step loss scalars come back to the host.
     Logging/explode-guard stay per-step; rotating checkpoints land at
     call boundaries (at most steps_per_call-1 iterations late).
+
+    `loader_cls`: PrefetchLoader (threads) or
+    data/grain_loader.py:GrainLoader (deterministic multi-host order +
+    mid-epoch resumable iterator); both share the constructor surface.
     """
     from ..eval.proposals import evaluate_gln
 
     os.makedirs(output_path, exist_ok=True)
-    loader = PrefetchLoader(dataset, batch_size, collate_detection,
-                            shuffle=True, seed=seed)
+    loader = loader_cls(dataset, batch_size, collate_detection,
+                        shuffle=True, seed=seed)
     steps_per_epoch = max(len(loader), 1)
     cfg = train_cfg or gln_train.GLNTrainConfig()
     cfg = gln_train.GLNTrainConfig(**{
@@ -234,7 +239,8 @@ def train_proposal_generator(
 def pretrain_gan(dataset, discriminatorset, output_path: str,
                  epochs: int = 1, batch_size: int = 4,
                  checkpoint_interval: int = 200, masks: bool = False,
-                 seed: int = 0) -> Dict:
+                 seed: int = 0,
+                 loader_cls: type = PrefetchLoader) -> Dict:
     """GAN pretraining loop (cvpce/classification_training.py:257-332)."""
     from ..data.transforms import scale_to_tanh
     from .dihe import GANPretrainConfig, make_gan_pretrain_step
@@ -250,8 +256,8 @@ def pretrain_gan(dataset, discriminatorset, output_path: str,
     def collate(items):
         return (np.stack([it[1] for it in items]),)
 
-    loader = PrefetchLoader(dataset, batch_size, collate, shuffle=True,
-                            seed=seed)
+    loader = loader_cls(dataset, batch_size, collate, shuffle=True,
+                        seed=seed)
     rng = np.random.default_rng(seed)
 
     def save_gan_sample(tag: str, gen_batch) -> None:
@@ -298,7 +304,8 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
                epochs: int = 1, batch_size: int = 4,
                checkpoint_interval: int = 200, eval_interval: int = 1,
                train_cfg=None, seed: int = 0, use_mesh: bool = True,
-               hyperopt_report=None, resume: bool = False) -> Dict:
+               hyperopt_report=None, resume: bool = False,
+               loader_cls: type = PrefetchLoader) -> Dict:
     """DIHE training loop (cvpce/classification_training.py:334-541).
 
     `resume`: continue from the rotating embedder_checkpoint (all three
@@ -319,8 +326,8 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
         hiers = [it[2] for it in items]
         return embs, gens, hiers
 
-    loader = PrefetchLoader(dataset, batch_size * 2, collate, shuffle=True,
-                            seed=seed)
+    loader = loader_cls(dataset, batch_size * 2, collate, shuffle=True,
+                        seed=seed)
     steps_per_epoch = max(len(loader), 1)
     cfg = train_cfg or DIHETrainConfig()
     cfg = DIHETrainConfig(**{**cfg.__dict__,
