@@ -82,10 +82,17 @@ class GrainLoader:
         return ds.batch(self.batch_size, drop_remainder=self.drop_last,
                         batch_fn=self.collate)
 
-    def __iter__(self) -> Iterator:
-        read = grain.ReadOptions(num_threads=self.num_threads,
+    def _read_options(self) -> "grain.ReadOptions":
+        # grain requires prefetch_buffer_size >= num_threads (warns today,
+        # slated to become an error); extra threads beyond the buffer
+        # can't run anyway, so clamp.
+        threads = min(self.num_threads, self.prefetch_batches)
+        return grain.ReadOptions(num_threads=threads,
                                  prefetch_buffer_size=self.prefetch_batches)
-        return iter(self._epoch_chain(self.epoch).to_iter_dataset(read))
+
+    def __iter__(self) -> Iterator:
+        return iter(self._epoch_chain(self.epoch)
+                    .to_iter_dataset(self._read_options()))
 
     # -- grain-native resumable stream ---------------------------------
 
@@ -109,6 +116,4 @@ class GrainLoader:
         batched = ds.batch(self.batch_size,
                            drop_remainder=self.drop_last,
                            batch_fn=self.collate)
-        read = grain.ReadOptions(num_threads=self.num_threads,
-                                 prefetch_buffer_size=self.prefetch_batches)
-        return iter(batched.to_iter_dataset(read))
+        return iter(batched.to_iter_dataset(self._read_options()))
