@@ -69,7 +69,8 @@ class GrainLoader:
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
-    def _epoch_chain(self, epoch: int) -> "grain.MapDataset":
+    def _epoch_chain(self, epoch: int,
+                     skip_batches: int = 0) -> "grain.MapDataset":
         ds = grain.MapDataset.source(self.dataset)
         if self.shuffle:
             # repeat() advances grain's internal epoch so shuffle
@@ -79,6 +80,10 @@ class GrainLoader:
             ds = ds.seed(self.seed).shuffle().repeat(epoch + 1).slice(
                 slice(epoch * n, (epoch + 1) * n))
         ds = ds.slice(slice(self.shard_index, None, self.num_shards))
+        if skip_batches:
+            # whole-batch skip AFTER sharding keeps batch boundaries
+            # (and the drop_last remainder) identical to a full epoch
+            ds = ds.slice(slice(skip_batches * self.batch_size, None))
         return ds.batch(self.batch_size, drop_remainder=self.drop_last,
                         batch_fn=self.collate)
 
@@ -92,6 +97,16 @@ class GrainLoader:
 
     def __iter__(self) -> Iterator:
         return iter(self._epoch_chain(self.epoch)
+                    .to_iter_dataset(self._read_options()))
+
+    def iter_from(self, skip_batches: int) -> Iterator:
+        """The current epoch's stream minus its first `skip_batches`
+        batches — the order is a pure function of (seed, epoch, shard),
+        so a resumed process reproduces the exact remaining batches a
+        preempted run would have seen. The skip is a dataset slice: no
+        skipped sample is ever loaded. Used by the train loops for
+        exact mid-epoch resume (train/loops.py)."""
+        return iter(self._epoch_chain(self.epoch, skip_batches)
                     .to_iter_dataset(self._read_options()))
 
     # -- grain-native resumable stream ---------------------------------

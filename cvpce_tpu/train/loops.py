@@ -32,6 +32,34 @@ from .checkpoint import BestKeeper, CheckpointManager
 EXPLODED_LOSS = 5000.0  # cvpce/proposals_training.py:238
 
 
+def _resume_position(meta: Dict, steps_per_epoch: int, loader):
+    """(start_epoch, skip_batches) for a resumed run.
+
+    Checkpoints record `epoch_step` = the last completed batch index
+    within `epoch`. A loader with `iter_from` (GrainLoader: order is a
+    pure function of (seed, epoch, shard)) resumes INSIDE the epoch on
+    the exact next batch; otherwise — and for pre-`epoch_step`
+    checkpoints — fall back to the reference's semantics of restarting
+    at the next epoch (cvpce/proposals_training.py:209-220, which can
+    skip up to checkpoint_interval-1 trailing batches)."""
+    epoch = meta.get("epoch", -1)
+    epoch_step = meta.get("epoch_step")
+    if epoch_step is None or not hasattr(loader, "iter_from"):
+        return epoch + 1, 0
+    if epoch_step + 1 >= steps_per_epoch:
+        return epoch + 1, 0
+    return epoch, epoch_step + 1
+
+
+def _epoch_iter(loader, epoch: int, start_epoch: int, skip_batches: int):
+    """Iterate epoch `epoch`, skipping `skip_batches` on the resumed
+    first epoch only."""
+    loader.set_epoch(epoch)
+    if skip_batches and epoch == start_epoch:
+        return loader.iter_from(skip_batches)
+    return iter(loader)
+
+
 def train_proposal_generator(
     dataset, evalset, output_path: str,
     model_cfg: GLNConfig = GLNConfig(),
@@ -60,6 +88,10 @@ def train_proposal_generator(
     `loader_cls`: PrefetchLoader (threads) or
     data/grain_loader.py:GrainLoader (deterministic multi-host order +
     mid-epoch resumable iterator); both share the constructor surface.
+    With GrainLoader, `resume=True` continues INSIDE a partially-trained
+    epoch on the exact next batch (checkpoints record `epoch_step`);
+    with PrefetchLoader it keeps the reference's restart-at-next-epoch
+    semantics.
     """
     from ..eval.proposals import evaluate_gln
 
@@ -98,13 +130,15 @@ def train_proposal_generator(
     keeper = BestKeeper(manager, "ap")
     start_epoch = 0
     iteration = 0
+    skip_batches = 0  # mid-epoch resume offset into start_epoch
     if resume:
         meta = manager.load_meta()
         if meta:
             state = manager.restore(state)
-            start_epoch = meta.get("epoch", -1) + 1
             iteration = meta.get("iteration", -1) + 1
             keeper.best = meta.get("best", keeper.best)
+            start_epoch, skip_batches = _resume_position(
+                meta, steps_per_epoch, loader)
 
     # checkpoint-time sample render (proposals_training.py:91-101);
     # the inference fn takes variables as an argument so one compilation
@@ -146,10 +180,12 @@ def train_proposal_generator(
                   "batch_times": []}
     end_epoch = start_epoch + epochs
 
+    epoch_step = -1  # last completed batch index within the epoch
+
     def run_chunk(chunk, epoch):
         """Execute len(chunk) optimizer steps (one compiled call when
         steps_per_call > 1) and apply the per-step loop semantics."""
-        nonlocal state, iteration
+        nonlocal state, iteration, epoch_step
         t0 = time.time()
         if steps_per_call > 1:
             stacked = [np.stack([b[key] for b in chunk]) for key in
@@ -186,16 +222,17 @@ def train_proposal_generator(
             if iteration % checkpoint_interval == 0:
                 pending_save = True
             iteration += 1
+            epoch_step += 1
         if pending_save:
             save_sample_pictures(f"{iteration - 1:05d}")
             manager.save_rotating(state, {
                 "epoch": epoch, "iteration": iteration - 1,
-                "best": keeper.best})
+                "epoch_step": epoch_step, "best": keeper.best})
 
     for e in range(start_epoch, end_epoch):
-        loader.set_epoch(e)
+        epoch_step = skip_batches - 1 if e == start_epoch else -1
         chunk = []
-        for batch in loader:
+        for batch in _epoch_iter(loader, e, start_epoch, skip_batches):
             chunk.append(batch)
             if len(chunk) == steps_per_call:
                 run_chunk(chunk, e)
@@ -216,7 +253,8 @@ def train_proposal_generator(
         # checkpoint_interval-1 trailing steps — hyperopt's per-epoch
         # re-invocation depends on this)
         manager.save_rotating(state, {
-            "epoch": e, "iteration": iteration - 1, "best": keeper.best})
+            "epoch": e, "iteration": iteration - 1,
+            "epoch_step": epoch_step, "best": keeper.best})
 
         final = e == end_epoch - 1
         if e % eval_interval == 0 or final:
@@ -309,7 +347,9 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
     """DIHE training loop (cvpce/classification_training.py:334-541).
 
     `resume`: continue from the rotating embedder_checkpoint (all three
-    players' params/opt states), mirroring the GLN loop's resume."""
+    players' params/opt states), mirroring the GLN loop's resume —
+    including exact mid-epoch resume with GrainLoader (data order only;
+    the discriminator-sample rng restarts from `seed`)."""
     from ..data.transforms import scale_to_tanh
     from ..eval.classification import eval_dihe
     from ..models.embedders import MACVGG
@@ -371,18 +411,21 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
 
     start_epoch = 0
     iteration = 0
+    skip_batches = 0
     if resume:
         meta = manager.load_meta()
         if meta:
             state = manager.restore(state)
-            start_epoch = meta.get("epoch", -1) + 1
             iteration = meta.get("iteration", -1) + 1
             keeper.best = meta.get("best", keeper.best)
+            start_epoch, skip_batches = _resume_position(
+                meta, steps_per_epoch, loader)
 
     end_epoch = start_epoch + epochs
     for e in range(start_epoch, end_epoch):
-        loader.set_epoch(e)
-        for embs, gens, hiers in loader:
+        epoch_step = skip_batches - 1 if e == start_epoch else -1
+        for embs, gens, hiers in _epoch_iter(loader, e, start_epoch,
+                                             skip_batches):
             block = len(embs) // 2
             if block == 0:
                 continue
@@ -398,16 +441,20 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
             if iteration % 50 == 0:
                 print(f"batch:{iteration}\t" + "\t".join(
                     f"{k}:{float(v):.4f}" for k, v in metrics.items()))
-            if iteration % checkpoint_interval == 0:
-                manager.save_rotating(state, {"epoch": e,
-                                              "iteration": iteration,
-                                              "best": keeper.best})
             iteration += 1
+            epoch_step += 1
+            if (iteration - 1) % checkpoint_interval == 0:
+                manager.save_rotating(state, {"epoch": e,
+                                              "iteration": iteration - 1,
+                                              "epoch_step": epoch_step,
+                                              "best": keeper.best})
 
         # end-of-epoch rotating save (resume continuity — see the GLN
         # loop's equivalent)
-        manager.save_rotating(state, {"epoch": e, "iteration":
-                                      iteration - 1, "best": keeper.best})
+        manager.save_rotating(state, {"epoch": e,
+                                      "iteration": iteration - 1,
+                                      "epoch_step": epoch_step,
+                                      "best": keeper.best})
 
         final = e == end_epoch - 1
         if e % eval_interval == 0 or final:
