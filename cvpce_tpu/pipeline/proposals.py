@@ -24,10 +24,16 @@ Array = jnp.ndarray
 class ProposalGenerator:
     def __init__(self, variables: Dict, config: GLNConfig,
                  confidence_threshold: float = 0.5,
-                 max_proposals: int = 256):
+                 max_proposals: int = 256, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — `detect_batch` shards the
+        image batch over its first axis (variables replicated, placed
+        once). Postprocess/NMS is per-image, so DP sharding is exact;
+        the reference's production path is strictly single-GPU
+        (cvpce/production.py:8-20)."""
         self.config = config
         self.confidence_threshold = confidence_threshold
         self.max_proposals = max_proposals
+        self.mesh = mesh
         anchors, counts = config.anchors()
         model = GLN(config=config, train=False)
 
@@ -36,6 +42,17 @@ class ProposalGenerator:
             outputs = model.apply(variables, images)
             return postprocess_detections(outputs, jnp.asarray(anchors),
                                           counts, image_sizes, config)
+
+        if mesh is not None:
+            from ..eval.proposals import make_variables_inference_fn
+            from ..parallel import put_replicated
+
+            repl_vars = put_replicated(variables, mesh)
+            vfn = make_variables_inference_fn(config, mesh)
+            self._infer_batch = lambda imgs, sizes: vfn(
+                repl_vars, imgs, sizes)
+        else:
+            self._infer_batch = _infer
 
         @functools.partial(jax.jit, static_argnames=())
         def _crops(image: Array, boxes: Array) -> Array:
@@ -59,6 +76,35 @@ class ProposalGenerator:
         valid = np.asarray(res["valid"][0])
         return {"boxes": boxes, "scores": scores, "valid": valid,
                 "gaussians": np.asarray(res["gaussians"][0])}
+
+    def detect_batch(self, images) -> list:
+        """`detect` over a batch of images in one device program. With a
+        mesh, the batch shards across chips (padded up to a multiple of
+        the mesh size; pad results dropped) — the pod-scale serving path
+        for detection, complementing the sharded-gallery classifier
+        (ops/knn_sharded.py) and spatial inference (parallel/spatial.py).
+        """
+        canvases, sizes, scales = [], [], []
+        for image in images:
+            canvas, _, (ch, cw), scale = T.detection_canvas(
+                image, None, self.config.canvas_h, self.config.canvas_w)
+            canvases.append(canvas)
+            sizes.append([ch, cw])
+            scales.append(scale)
+        n = len(canvases)
+        pad = (-n) % self.mesh.devices.size if self.mesh is not None else 0
+        batch = np.stack(canvases + [np.zeros_like(canvases[0])] * pad)
+        size_arr = np.asarray(sizes + [[1.0, 1.0]] * pad, np.float32)
+        res = self._infer_batch(jnp.asarray(batch), jnp.asarray(size_arr))
+        out = []
+        for i in range(n):
+            out.append({
+                "boxes": np.asarray(res["boxes"][i]) / scales[i],
+                "scores": np.asarray(res["scores"][i]),
+                "valid": np.asarray(res["valid"][i]),
+                "gaussians": np.asarray(res["gaussians"][i]),
+            })
+        return out
 
     def generate_proposals(self, image: np.ndarray) -> np.ndarray:
         res = self.detect(image)

@@ -297,3 +297,50 @@ def test_sharded_eval_matches_single_device():
     for key in ("ap", "ar_300", "f", "p", "r"):
         assert float(sharded[key]) == pytest.approx(float(single[key]),
                                                     abs=1e-6), key
+
+
+@pytest.mark.slow
+def test_detect_batch_dp_matches_per_image():
+    """ProposalGenerator.detect_batch over a mesh (batch sharded, pad
+    images dropped) must match the per-image single-device detect()."""
+    from cvpce_tpu.pipeline.proposals import ProposalGenerator
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device")
+    import jax.numpy as jnp
+
+    from cvpce_tpu.models.gln import GLN
+
+    cfg = GLNConfig(canvas_h=64, canvas_w=64, max_nms_candidates=128,
+                    detections_per_img=64)
+    model = GLN(config=cfg, train=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))
+
+    rng = np.random.default_rng(1)
+    # varying aspect ratios exercise per-image canvas scales; 5 images
+    # over a 4-way mesh exercises pad-and-drop
+    images = [rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+              for h, w in ((96, 96), (48, 80), (80, 48), (64, 64),
+                           (100, 60))]
+
+    single = ProposalGenerator(variables, cfg, confidence_threshold=0.0)
+    mesh = data_parallel_mesh(jax.devices()[:4])
+    dp = ProposalGenerator(variables, cfg, confidence_threshold=0.0,
+                           mesh=mesh)
+
+    batched = dp.detect_batch(images)
+    assert len(batched) == len(images)
+    for image, got in zip(images, batched):
+        want = single.detect(image)
+        np.testing.assert_array_equal(got["valid"], want["valid"])
+        keep = want["valid"]
+        np.testing.assert_allclose(got["scores"][keep],
+                                   want["scores"][keep], atol=1e-4)
+        np.testing.assert_allclose(got["boxes"][keep],
+                                   want["boxes"][keep], atol=1e-3)
+
+    # no-mesh batch path goes through the same code
+    plain = single.detect_batch(images[:2])
+    np.testing.assert_array_equal(plain[0]["valid"],
+                                  batched[0]["valid"])
