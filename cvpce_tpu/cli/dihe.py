@@ -68,9 +68,13 @@ def pretrain_gan_cmd(source, imgs, annotations, out, epochs, batch_size,
 @click.option("--grain", is_flag=True,
               help="grain input pipeline (deterministic multi-host "
                    "order, mid-epoch resumable)")
+@click.option("--resume", is_flag=True,
+              help="continue from the rotating embedder_checkpoint in "
+                   "--out (the reference's --load-enc, "
+                   "cvpce/cli/dihe.py:132)")
 def train(source, imgs, annotations, test_imgs, test_annotations, out,
           gan_path, epochs, batch_size, masks, no_batchnorm,
-          hyperopt_params, grain):
+          hyperopt_params, grain, resume):
     """Train DIHE (cvpce/cli/dihe.py:77-167)."""
     from ..data.grocery import (GroceryProductsDataset,
                                 GroceryProductsTestSet)
@@ -107,7 +111,7 @@ def train(source, imgs, annotations, test_imgs, test_annotations, out,
         kwargs["loader_cls"] = GrainLoader
     train_dihe(dataset, discset, dataset, evalset, out,
                gan_state=gan_state, epochs=epochs, batch_size=batch_size,
-               train_cfg=cfg, **kwargs)
+               train_cfg=cfg, resume=resume, **kwargs)
 
 
 @dihe.command("eval")
