@@ -73,7 +73,8 @@ def _load_gln_orbax(ckpt_dir: str, config: GLNConfig, variables: Dict
 
 
 def load_embedder(weights: Optional[str], batch_norm: bool = True,
-                  encoder: str = "vgg16", int8: bool = False):
+                  encoder: str = "vgg16", int8: bool = False,
+                  resnet_layers=(2, 3)):
     """Returns (encoder_fn, embedding_size).
 
     encoder='vgg16': MACVGG; accepts torchvision vgg16(_bn) or reference
@@ -90,7 +91,8 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
     bandwidth passes; PERF.md r2 layer profile).
     """
     if encoder == "resnet50":
-        return _load_macresnet(weights, int8=int8)
+        return _load_macresnet(weights, int8=int8,
+                               resnet_layers=resnet_layers)
     dtype = jnp.bfloat16 if int8 else jnp.float32
     model = MACVGG(batch_norm=batch_norm, train=False, int8_all=int8,
                    int8_static=int8, dtype=dtype)
@@ -132,14 +134,19 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
     return encode, model.embedding_size
 
 
-def _load_macresnet(weights: Optional[str], int8: bool = False):
+def _load_macresnet(weights: Optional[str], int8: bool = False,
+                    resnet_layers=(2, 3)):
     """int8 -> calibrated static-scale int8 trunk convs on a bf16 base
     (models/quant.py; same lifecycle as the MACVGG path — the
     Classifier calibrates on the gallery and persists scales with the
-    index)."""
+    index). `resnet_layers`: reference descriptor_layers
+    (cvpce/models/classification.py:55, layer l = our stage c(l+1);
+    default [2, 3] -> c3+c4 = 1536-d)."""
     from ..models.embedders import EmbedFn, MACResNet
 
     model = MACResNet(train=False,
+                      descriptor_stages=tuple(
+                          f"c{l + 1}" for l in resnet_layers),
                       dtype=jnp.bfloat16 if int8 else jnp.float32,
                       quant="static" if int8 else None)
     variables = model.init(

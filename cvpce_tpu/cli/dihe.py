@@ -53,6 +53,15 @@ def pretrain_gan_cmd(source, imgs, annotations, out, epochs, batch_size,
 
 @dihe.command()
 @_gp_options
+@click.option("--source-type", type=click.Choice(["gp", "internal"]),
+              default="gp", show_default=True,
+              help="training gallery type (cvpce/cli/dihe.py:85)")
+@click.option("--only", multiple=True,
+              help="only train with these top-level data groups "
+                   "(cvpce/cli/dihe.py:87)")
+@click.option("--eval-data", multiple=True,
+              help="separate eval gallery roots (used with internal "
+                   "source, cvpce/cli/dihe.py:145)")
 @click.option("--test-imgs", default=defaults.GP_TEST_DIR, show_default=True)
 @click.option("--test-annotations", default=defaults.GP_ANN_DIR,
               show_default=True)
@@ -72,19 +81,30 @@ def pretrain_gan_cmd(source, imgs, annotations, out, epochs, batch_size,
               help="continue from the rotating embedder_checkpoint in "
                    "--out (the reference's --load-enc, "
                    "cvpce/cli/dihe.py:132)")
-def train(source, imgs, annotations, test_imgs, test_annotations, out,
-          gan_path, epochs, batch_size, masks, no_batchnorm,
-          hyperopt_params, grain, resume):
+def train(source, source_type, only, eval_data, imgs, annotations,
+          test_imgs, test_annotations, out, gan_path, epochs, batch_size,
+          masks, no_batchnorm, hyperopt_params, grain, resume):
     """Train DIHE (cvpce/cli/dihe.py:77-167)."""
     from ..data.grocery import (GroceryProductsDataset,
-                                GroceryProductsTestSet)
+                                GroceryProductsTestSet, InternalTrainSet)
     from ..data.sku110k import TargetDomainDataset
     from ..train.checkpoint import CheckpointManager
     from ..train.dihe import DIHETrainConfig
     from ..train.loops import train_dihe
 
-    dataset = GroceryProductsDataset(list(source), include_masks=masks,
-                                     include_annotations=True)
+    if source_type == "gp":
+        dataset = GroceryProductsDataset(list(source), include_masks=masks,
+                                         include_annotations=True,
+                                         only=list(only) or None)
+    else:
+        dataset = InternalTrainSet(source[0], include_masks=masks,
+                                   include_annotations=True)
+    evaldata = dataset
+    if eval_data:
+        evaldata = GroceryProductsDataset(list(eval_data),
+                                          include_masks=masks,
+                                          include_annotations=True,
+                                          only=list(only) or None)
     discset = TargetDomainDataset(imgs, annotations,
                                   skip=defaults.SKU110K_SKIP)
     evalset = GroceryProductsTestSet(
@@ -109,7 +129,7 @@ def train(source, imgs, annotations, test_imgs, test_annotations, out,
         from ..data.grain_loader import GrainLoader
 
         kwargs["loader_cls"] = GrainLoader
-    train_dihe(dataset, discset, dataset, evalset, out,
+    train_dihe(dataset, discset, evaldata, evalset, out,
                gan_state=gan_state, epochs=epochs, batch_size=batch_size,
                train_cfg=cfg, resume=resume, **kwargs)
 
@@ -127,25 +147,34 @@ def train(source, imgs, annotations, test_imgs, test_annotations, out,
 @click.option("--batch-size", default=32, show_default=True)
 @click.option("--encoder", type=click.Choice(["vgg16", "resnet50"]),
               default="vgg16", show_default=True)
+@click.option("--resnet-layers", multiple=True, type=int, default=(2, 3),
+              show_default=True,
+              help="resnet50 descriptor layers (reference layer l = our "
+                   "stage c(l+1); cvpce/cli/dihe.py:278)")
 @click.option("--int8", is_flag=True,
               help="int8 MXU embed fast path (vgg16 only)")
 @click.option("--index", default=None,
               help="prebuilt classifier index (skips gallery embedding)")
+@click.option("--only", type=click.Choice(["none", "test", "val"]),
+              default="none", show_default=True,
+              help="all annotations, or only the test/validation split "
+                   "(first 2 per image = val; cvpce/cli/dihe.py:284-298)")
 @click.option("--validation", is_flag=True,
-              help="first 2 annotations per image (defaults.py:24-26)")
+              help="alias for --only val (defaults.py:24-26)")
 @click.option("--sharded-gallery", is_flag=True,
               help="shard the gallery across all devices "
                    "(ops/knn_sharded.py pod-scale search)")
 def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
-             weights, k, batch_size, encoder, int8, index, validation,
-             sharded_gallery):
+             weights, k, batch_size, encoder, resnet_layers, int8, index,
+             only, validation, sharded_gallery):
     """Gallery-kNN classification accuracy (cvpce/cli/dihe.py:257-309)."""
     from ..data.grocery import (GroceryProductsDataset,
                                 GroceryProductsTestSet)
     from ..eval.classification import eval_dihe
 
     encoder_fn, emb_size = load_embedder(weights, encoder=encoder,
-                                         int8=int8)
+                                         int8=int8,
+                                         resnet_layers=tuple(resnet_layers))
     mesh = None
     if sharded_gallery:
         from ..parallel.mesh import data_parallel_mesh
@@ -153,10 +182,13 @@ def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
         mesh = data_parallel_mesh()
     sampleset = None if index else GroceryProductsDataset(
         list(source), random_crop=False, include_annotations=True)
+    split = "val" if validation else only
     testset = GroceryProductsTestSet(
         test_imgs, test_annotations,
-        only=defaults.GP_TEST_VALIDATION_SET_SIZE if validation else None,
-        skip=None if validation else defaults.GP_TEST_VALIDATION_SET_SIZE)
+        only=defaults.GP_TEST_VALIDATION_SET_SIZE if split == "val"
+        else None,
+        skip=defaults.GP_TEST_VALIDATION_SET_SIZE if split == "test"
+        else None)
     accuracy = eval_dihe(encoder_fn, emb_size, sampleset, testset,
                          batch_size=batch_size, k=tuple(k),
                          load_index=index, mesh=mesh)
@@ -165,21 +197,28 @@ def eval_cmd(source, imgs, annotations, test_imgs, test_annotations,
 
 @dihe.command("prebuild-index")
 @_gp_options
+@click.option("--datatype", type=click.Choice(["gp", "internal"]),
+              default="gp", show_default=True,
+              help="gallery dataset type (cvpce/cli/dihe.py:390)")
 @click.option("--weights", default=None)
 @click.option("--out", required=True, type=click.Path())
 @click.option("--batch-size", default=32, show_default=True)
 @click.option("--int8", is_flag=True,
               help="int8 MXU embed fast path")
-def prebuild_index(source, imgs, annotations, weights, out, batch_size,
-                   int8):
+def prebuild_index(source, datatype, imgs, annotations, weights, out,
+                   batch_size, int8):
     """Embed the gallery once and save the classifier index
     (cvpce/cli/dihe.py:382-423)."""
-    from ..data.grocery import GroceryProductsDataset
+    from ..data.grocery import GroceryProductsDataset, InternalTrainSet
     from ..pipeline.classifier import Classifier
 
     encoder_fn, emb_size = load_embedder(weights, int8=int8)
-    sampleset = GroceryProductsDataset(list(source), random_crop=False,
-                                       include_annotations=True)
+    if datatype == "gp":
+        sampleset = GroceryProductsDataset(list(source), random_crop=False,
+                                           include_annotations=True)
+    else:
+        sampleset = InternalTrainSet(source[0], random_crop=False,
+                                     include_annotations=True)
     classifier = Classifier(encoder_fn, emb_size, sampleset,
                             batch_size=batch_size, verbose=True)
     classifier.save_index(out)
@@ -220,6 +259,12 @@ def visualize_performance(index, weights, images, out, k):
 
 @dihe.command()
 @_gp_options
+@click.option("--source-type", type=click.Choice(["gp", "internal"]),
+              default="gp", show_default=True,
+              help="training gallery type (cvpce/cli/dihe.py:177)")
+@click.option("--only", multiple=True,
+              help="only train with these top-level data groups "
+                   "(cvpce/cli/dihe.py:179)")
 @click.option("--test-imgs", default=defaults.GP_TEST_DIR, show_default=True)
 @click.option("--test-annotations", default=defaults.GP_ANN_DIR,
               show_default=True)
@@ -228,8 +273,9 @@ def visualize_performance(index, weights, images, out, k):
 @click.option("--trials", default=16, show_default=True)
 @click.option("--max-epochs", default=6, show_default=True)
 @click.option("--batch-size", default=4, show_default=True)
-def hyperopt(source, imgs, annotations, test_imgs, test_annotations, out,
-             gan_path, trials, max_epochs, batch_size):
+def hyperopt(source, source_type, only, imgs, annotations, test_imgs,
+             test_annotations, out, gan_path, trials, max_epochs,
+             batch_size):
     """Hyperparameter search over the reference's DIHE space
     (cvpce/cli/dihe.py:224-228: batchnorm, enc_multiplier, enc_lr) with
     ASHA early stopping."""
@@ -245,7 +291,14 @@ def hyperopt(source, imgs, annotations, test_imgs, test_annotations, out,
     from ..train.loops import train_dihe
 
     os.makedirs(out, exist_ok=True)
-    dataset = GroceryProductsDataset(list(source), include_annotations=True)
+    if source_type == "gp":
+        dataset = GroceryProductsDataset(list(source),
+                                         include_annotations=True,
+                                         only=list(only) or None)
+    else:
+        from ..data.grocery import InternalTrainSet
+
+        dataset = InternalTrainSet(source[0], include_annotations=True)
     discset = TargetDomainDataset(imgs, annotations,
                                   skip=defaults.SKU110K_SKIP)
     evalset = GroceryProductsTestSet(

@@ -246,8 +246,9 @@ class EmbedFn:
 class MACResNet(nn.Module):
     """ResNet-50 MAC embedder over stage outputs.
 
-    descriptor_stages are reference `descriptor_layers` + 2 in our stage
-    naming (reference layers [2, 3] == stages c3, c4 -> 1536-d).
+    descriptor_stages are reference `descriptor_layers` + 1 in our stage
+    naming (reference layers [2, 3] == stages c3, c4 -> 1536-d;
+    cvpce/models/classification.py:55-77 indexes [stem, layer1..layer4]).
 
     `quant`: int8 MXU serving for the trunk stage convs (models/quant.py
     modes 'static'/'calibrate'/'dynamic'; stem stays in dtype) — same
