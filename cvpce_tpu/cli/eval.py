@@ -26,6 +26,12 @@ def _pipeline_options(f):
     f = click.option("--confidence", default=0.5, show_default=True)(f)
     f = click.option("--fast", is_flag=True,
                      help="bf16 + approx top-k TPU speed path")(f)
+    f = click.option("--canvas", nargs=2, type=int, default=(832, 1344),
+                     show_default=True, help="detector canvas (h w)")(f)
+    f = click.option("--max-detections", default=1000, show_default=True,
+                     help="detections_per_img cap")(f)
+    f = click.option("--nms-candidates", default=5120, show_default=True,
+                     help="per-level NMS candidate cap")(f)
     f = click.option("--sharded-gallery", is_flag=True,
                      help="shard the gallery index across all devices "
                           "(ops/knn_sharded.py pod-scale search)")(f)
@@ -33,12 +39,19 @@ def _pipeline_options(f):
 
 
 def _build_pipeline(gln_weights, encoder_weights, source, index,
-                    confidence, k=1, fast=False, sharded_gallery=False):
+                    confidence, k=1, fast=False, sharded_gallery=False,
+                    canvas=(832, 1344), max_detections=1000,
+                    nms_candidates=5120):
+    import dataclasses
+
     from ..data.grocery import GroceryProductsDataset
     from ..pipeline.classifier import Classifier
     from ..pipeline.proposals import ProposalGenerator
 
-    config = default_gln_config(fast)
+    config = dataclasses.replace(
+        default_gln_config(fast), canvas_h=canvas[0], canvas_w=canvas[1],
+        detections_per_img=max_detections,
+        max_nms_candidates=nms_candidates)
     variables = load_gln_variables(gln_weights, config)
     generator = ProposalGenerator(variables, config,
                                   confidence_threshold=confidence)
@@ -62,11 +75,16 @@ def _build_pipeline(gln_weights, encoder_weights, source, index,
 
 @click.command("eval-product-detection")
 @_pipeline_options
-@click.option("--coco", is_flag=True)
+@click.option("--iou-threshold", "-t", "iou_thresholds", type=float,
+              multiple=True, default=(0.5,), show_default=True,
+              help="IoU thresholds (cvpce/cli/eval.py:32)")
+@click.option("--coco", is_flag=True,
+              help="IoU sweep 0.5:0.95 instead of --iou-threshold")
 @click.option("--out", default=None)
 def eval_product_detection(gln_weights, encoder_weights, source, test_imgs,
                            test_annotations, index, confidence, fast,
-                           sharded_gallery, coco, out):
+                           canvas, max_detections, nms_candidates,
+                           sharded_gallery, iou_thresholds, coco, out):
     """GLN+DIHE product detection mAP/mAR300 on GP-180
     (cvpce/cli/eval.py:12-71)."""
     from ..data.grocery import GroceryProductsTestSet
@@ -74,9 +92,11 @@ def eval_product_detection(gln_weights, encoder_weights, source, test_imgs,
 
     generator, classifier = _build_pipeline(
         gln_weights, encoder_weights, source, index, confidence, fast=fast,
-        sharded_gallery=sharded_gallery)
+        sharded_gallery=sharded_gallery, canvas=canvas,
+        max_detections=max_detections, nms_candidates=nms_candidates)
     testset = GroceryProductsTestSet(test_imgs, test_annotations)
-    thresholds = tuple(np.arange(0.5, 1.0, 0.05).round(2)) if coco else (0.5,)
+    thresholds = tuple(np.arange(0.5, 1.0, 0.05).round(2)) if coco \
+        else tuple(iou_thresholds)
     per_class, overall = evaluate_detections(generator, classifier, testset,
                                              thresholds=thresholds)
     mam = mean_average_metrics(per_class, thresholds)
@@ -97,10 +117,13 @@ def eval_product_detection(gln_weights, encoder_weights, source, test_imgs,
               show_default=True)
 @click.option("--internal", default=None,
               help="internal planoset dir instead of GP-180")
+@click.option("--verbose", is_flag=True,
+              help="include per-image results (cvpce/cli/eval.py:189)")
 @click.option("--out", default=None)
 def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
                     test_annotations, index, confidence, fast,
-                    sharded_gallery, plano_dir, internal, out):
+                    canvas, max_detections, nms_candidates,
+                    sharded_gallery, plano_dir, internal, verbose, out):
     """End-to-end compliance eval: mean accuracy + MSE vs ground truth
     (cvpce/cli/eval.py:160-240)."""
     from ..data.planograms import InternalPlanoSet, PlanogramTestSet
@@ -109,7 +132,8 @@ def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
 
     generator, classifier = _build_pipeline(
         gln_weights, encoder_weights, source, index, confidence, fast=fast,
-        sharded_gallery=sharded_gallery)
+        sharded_gallery=sharded_gallery, canvas=canvas,
+        max_detections=max_detections, nms_candidates=nms_candidates)
     if internal:
         planoset = InternalPlanoSet(internal)
     else:
@@ -118,7 +142,7 @@ def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
                                    PlanogramComparator())
     result = evaluate_planograms(evaluator, planoset)
     click.echo(json.dumps({k: v for k, v in result.items()
-                           if k != "per_image"}, indent=2))
+                           if verbose or k != "per_image"}, indent=2))
     if out:
         with open(out, "w") as f:
             json.dump(result, f)
@@ -130,6 +154,7 @@ def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
 @click.option("--out", required=True)
 def rebuild_scene(gln_weights, encoder_weights, source, test_imgs,
                   test_annotations, index, confidence, fast,
+                  canvas, max_detections, nms_candidates,
                   sharded_gallery, image, out):
     """Paste gallery images at detection positions
     (cvpce/cli/eval.py:73-158)."""
@@ -142,7 +167,8 @@ def rebuild_scene(gln_weights, encoder_weights, source, test_imgs,
 
     generator, classifier = _build_pipeline(
         gln_weights, encoder_weights, source, index, confidence, fast=fast,
-        sharded_gallery=sharded_gallery)
+        sharded_gallery=sharded_gallery, canvas=canvas,
+        max_detections=max_detections, nms_candidates=nms_candidates)
     gallery = GroceryProductsDataset(list(source), random_crop=False,
                                      include_annotations=True)
     img = T.load_image(image)
@@ -177,29 +203,50 @@ def rebuild_scene(gln_weights, encoder_weights, source, test_imgs,
 @_pipeline_options
 @click.option("--planograms", "plano_dir", default=defaults.GP_PLANO_DIR,
               show_default=True)
-@click.option("--store", required=True)
-@click.option("--image", "image_id", required=True)
+@click.option("--internal", default=None,
+              help="internal planoset dir instead of GP-180 "
+                   "(cvpce/cli/eval.py:268)")
+@click.option("--plano-idx", type=int, default=0, show_default=True,
+              help="index into the internal planoset "
+                   "(cvpce/cli/eval.py:271)")
+@click.option("--store", default=None, help="GP-180 store id")
+@click.option("--image", "image_id", default=None, help="GP-180 image id")
 @click.option("--out", required=True)
 def plot_planogram_eval(gln_weights, encoder_weights, source, test_imgs,
                         test_annotations, index, confidence, fast,
-                        sharded_gallery, plano_dir, store, image_id, out):
+                        canvas, max_detections, nms_candidates,
+                        sharded_gallery, plano_dir, internal, plano_idx,
+                        store, image_id, out):
     """Step-by-step compliance visualization (cvpce/cli/eval.py:242-371):
     detections, planogram layout, matched/missing products."""
     import matplotlib
     matplotlib.use("Agg")
     from matplotlib import patches, pyplot as plt
 
-    from ..data.planograms import PlanogramTestSet
+    from ..data.planograms import InternalPlanoSet, PlanogramTestSet
     from ..pipeline import planograms as pg
 
     generator, classifier = _build_pipeline(
         gln_weights, encoder_weights, source, index, confidence, fast=fast,
-        sharded_gallery=sharded_gallery)
-    planoset = PlanogramTestSet(test_imgs, test_annotations, plano_dir)
-    idx = planoset.get_index_for(store, image_id)
-    if idx is None:
-        raise click.UsageError(f"no test image s{store}_{image_id}")
-    img, _, _, plano = planoset[idx]
+        sharded_gallery=sharded_gallery, canvas=canvas,
+        max_detections=max_detections, nms_candidates=nms_candidates)
+    if internal:
+        planoset = InternalPlanoSet(internal)
+        img, iplano = planoset[plano_idx]
+        plano = {"boxes": np.asarray(iplano["boxes"], np.float32),
+                 "labels": list(iplano["labels"]),
+                 "graph": pg.build_graph(
+                     np.asarray(iplano["boxes"], np.float32),
+                     list(iplano["labels"]))}
+    else:
+        if store is None or image_id is None:
+            raise click.UsageError(
+                "--store/--image are required without --internal")
+        planoset = PlanogramTestSet(test_imgs, test_annotations, plano_dir)
+        idx = planoset.get_index_for(store, image_id)
+        if idx is None:
+            raise click.UsageError(f"no test image s{store}_{image_id}")
+        img, _, _, plano = planoset[idx]
 
     res = generator.detect_with_crops(img)
     labels = [a[0] for a in classifier.classify(res["crops"])] \
