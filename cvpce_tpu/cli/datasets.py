@@ -13,7 +13,9 @@ def datasets():
     """Dataset inspection and visualization."""
 
 
-def _save_boxes_viz(img, boxes, out, labels=None):
+def _save_boxes_viz(img, boxes, out, labels=None, extra_boxes=None):
+    """Ground truth in lime; `extra_boxes` (e.g. model detections) in
+    cyan."""
     import matplotlib
     matplotlib.use("Agg")
     from matplotlib import patches, pyplot as plt
@@ -25,6 +27,11 @@ def _save_boxes_viz(img, boxes, out, labels=None):
                                        fill=False, edgecolor="lime"))
         if labels is not None:
             ax.text(x1, y1, str(labels[i]), color="yellow", fontsize=6)
+    if extra_boxes is not None:
+        for x1, y1, x2, y2 in np.asarray(extra_boxes):
+            ax.add_patch(patches.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                           fill=False, edgecolor="cyan",
+                                           linestyle="--"))
     ax.axis("off")
     fig.savefig(out, bbox_inches="tight", dpi=120)
     plt.close(fig)
@@ -42,14 +49,48 @@ def sku110k():
               show_default=True)
 @click.option("--index", default=0, show_default=True)
 @click.option("--out", required=True)
+@click.option("--flip", is_flag=True,
+              help="show the flipped sample "
+                   "(cvpce/cli/datasets/sku110k.py:40)")
 @click.option("--gaussians", is_flag=True,
               help="also render the heatmap target")
-def sku_visualize(imgs, annotations, index, out, gaussians):
+@click.option("--model", default=None,
+              help="GLN weights: overlay detections over the ground "
+                   "truth (cvpce/cli/datasets/sku110k.py:42)")
+@click.option("--conf-thresh", default=0.45, show_default=True)
+@click.option("--canvas", nargs=2, type=int, default=(832, 1344),
+              show_default=True, help="detector canvas for --model")
+@click.option("--max-detections", default=1000, show_default=True)
+@click.option("--nms-candidates", default=5120, show_default=True)
+def sku_visualize(imgs, annotations, index, out, flip, gaussians, model,
+                  conf_thresh, canvas, max_detections, nms_candidates):
     from ..data.sku110k import SKU110KDataset
 
-    ds = SKU110KDataset(imgs, annotations, flip_chance=0.0)
+    ds = SKU110KDataset(imgs, annotations,
+                        flip_chance=1.0 if flip else 0.0)
     img, boxes = ds.load_raw(index)
-    _save_boxes_viz(img, boxes, out)
+    if flip:
+        img = img[:, ::-1]
+        flipped = boxes.copy()
+        flipped[:, 0] = img.shape[1] - boxes[:, 2]
+        flipped[:, 2] = img.shape[1] - boxes[:, 0]
+        boxes = flipped
+    det_boxes = None
+    if model is not None:
+        import dataclasses
+
+        from ..pipeline.proposals import ProposalGenerator
+        from .common import default_gln_config, load_gln_variables
+
+        config = dataclasses.replace(default_gln_config(),
+                                     canvas_h=canvas[0], canvas_w=canvas[1],
+                                     detections_per_img=max_detections,
+                                     max_nms_candidates=nms_candidates)
+        variables = load_gln_variables(model, config)
+        gen = ProposalGenerator(variables, config,
+                                confidence_threshold=conf_thresh)
+        det_boxes = gen.generate_proposals(img)
+    _save_boxes_viz(img, boxes, out, extra_boxes=det_boxes)
     if gaussians:
         from ..ops.gaussians import render_gaussians
 
@@ -92,11 +133,21 @@ def gp():
 @click.option("--annotations", default=defaults.GP_ANN_DIR,
               show_default=True)
 @click.option("--index", default=0, show_default=True)
+@click.option("--store", default=None, type=int,
+              help="select by store id instead of --index "
+                   "(cvpce/cli/datasets/gp.py:75)")
+@click.option("--image", "image_id", default=None, type=int,
+              help="select by image id (with --store)")
 @click.option("--out", required=True)
-def gp_visualize_test(imgs, annotations, index, out):
+def gp_visualize_test(imgs, annotations, index, store, image_id, out):
     from ..data.grocery import GroceryProductsTestSet
 
     ds = GroceryProductsTestSet(imgs, annotations)
+    if store is not None and image_id is not None:
+        found = ds.get_index_for(str(store), str(image_id))
+        if found is None:
+            raise click.UsageError(f"no test image s{store}_{image_id}")
+        index = found
     img, anns, boxes = ds[index]
     _save_boxes_viz(img, boxes, out, labels=anns)
 
@@ -105,18 +156,29 @@ def gp_visualize_test(imgs, annotations, index, out):
 @click.option("--imgs", default=defaults.GP_TEST_DIR, show_default=True)
 @click.option("--annotations", default=defaults.GP_ANN_DIR,
               show_default=True)
-def gp_test_distribution(imgs, annotations):
+@click.option("--only", type=click.Choice(
+    ["none", "test", "val", "keep2", "skip2"]), default="none",
+    show_default=True,
+    help="full set, or the test (skip first 2 anns/img) / validation "
+         "(keep first 2) split (cvpce/cli/datasets/gp.py:201)")
+def gp_test_distribution(imgs, annotations, only):
     """Per-category annotation counts (cvpce/cli/datasets/gp.py
     distribution commands)."""
     from collections import Counter
 
     from ..data.grocery import GroceryProductsTestSet
 
-    ds = GroceryProductsTestSet(imgs, annotations)
+    n = defaults.GP_TEST_VALIDATION_SET_SIZE
+    ds = GroceryProductsTestSet(
+        imgs, annotations,
+        only=n if only in ("val", "keep2") else None,
+        skip=n if only in ("test", "skip2") else None)
+    # apply the per-image split slice on the index directly (no image IO)
+    sl = slice(ds.toskip, ds.tokeep)
     counts = Counter(a.split("/")[0] if "/" in a else a
-                     for e in ds.index for a in e["anns"])
-    for name, n in counts.most_common():
-        click.echo(f"{n:6d}  {name}")
+                     for e in ds.index for a in e["anns"][sl])
+    for name, cnt in counts.most_common():
+        click.echo(f"{cnt:6d}  {name}")
 
 
 @gp.command("visualize-planoset")
@@ -177,12 +239,22 @@ def grozi_extract(root):
 @grozi.command("visualize-test")
 @click.option("--root", default=defaults.GROZI_ROOT, show_default=True)
 @click.option("--index", default=0, show_default=True)
+@click.option("--select-from", type=click.Choice(["none", "min", "max"]),
+              default="none", show_default=True,
+              help="pick --index within the least/most annotated images "
+                   "(cvpce/cli/datasets/grozi.py:32)")
 @click.option("--out", required=True)
-def grozi_visualize_test(root, index, out):
+def grozi_visualize_test(root, index, select_from, out):
     from ..data.grozi import GroZiTestSet
 
     ds = GroZiTestSet(root)
+    if select_from != "none":
+        idxset = (ds.least_annotated() if select_from == "min"
+                  else ds.most_annotated())
+        click.echo(f"{len(idxset)} {select_from}-annotated images")
+        index = idxset[index % len(idxset)]
     img, anns, boxes = ds[index]
+    click.echo(f"annotations in image: {len(anns)}")
     _save_boxes_viz(img, boxes, out, labels=list(anns))
 
 
@@ -306,15 +378,17 @@ def internal_visualize(root, index, out):
 @gp.command("visualize-train")
 @click.option("--source", multiple=True, default=defaults.GP_TRAIN_FOLDERS,
               show_default=True)
+@click.option("--only", multiple=True,
+              help="top-level group filter (cvpce/cli/datasets/gp.py:55)")
 @click.option("--index", default=0, show_default=True)
 @click.option("--out", required=True)
-def gp_visualize_train(source, index, out):
+def gp_visualize_train(source, only, index, out):
     """Training gallery item: embedder input vs generator crop
     (cvpce/cli/datasets/gp.py visualize-train)."""
     from ..data.grocery import GroceryProductsDataset
     from ..utils.viz import save_multiple
 
-    ds = GroceryProductsDataset(list(source))
+    ds = GroceryProductsDataset(list(source), only=list(only) or None)
     emb, gen, hier = ds[index]
     save_multiple([(emb + 1) / 2, (gen[..., :3] + 1) / 2], out)
     click.echo(f"{'/'.join(hier)} -> {out}")
@@ -323,15 +397,18 @@ def gp_visualize_train(source, index, out):
 @gp.command("train-distribution")
 @click.option("--source", multiple=True, default=defaults.GP_TRAIN_FOLDERS,
               show_default=True)
+@click.option("--only", multiple=True,
+              help="top-level group filter (cvpce/cli/datasets/gp.py:182)")
 @click.option("--out", default=None, help="save a treemap here")
-def gp_train_distribution(source, out):
+def gp_train_distribution(source, only, out):
     """Top-level category counts of the training gallery
     (cvpce/cli/datasets/gp.py train-distribution treemaps)."""
     from collections import Counter
 
     from ..data.grocery import GroceryProductsDataset
 
-    ds = GroceryProductsDataset(list(source), random_crop=False)
+    ds = GroceryProductsDataset(list(source), random_crop=False,
+                                only=list(only) or None)
     counts = Counter(c[0] if c else "(root)" for c in ds.categories)
     for name, n in counts.most_common():
         click.echo(f"{n:6d}  {name}")
@@ -466,6 +543,68 @@ def gp_fix(source, out, dry_run):
                 shutil.copy(f.path, os.path.join(out_path, new))
                 copied += 1
     click.echo(f"{'(dry run) ' if dry_run else ''}done, {copied} files")
+
+
+@gp.command("visualize")
+@click.option("--source", "train_imgs", multiple=True,
+              default=defaults.GP_TRAIN_FOLDERS, show_default=True)
+@click.option("--test-imgs", default=defaults.GP_TEST_DIR, show_default=True)
+@click.option("--annotations", default=defaults.GP_ANN_DIR,
+              show_default=True)
+@click.option("--seed", default=0, show_default=True)
+@click.option("--out", required=True)
+def gp_visualize(train_imgs, test_imgs, annotations, seed, out):
+    """Combined dataset overview (cvpce/cli/datasets/gp.py:125-173): two
+    test shelves with annotated boxes plus up to 8 training product
+    images, preferring the products that appear in the chosen shelves."""
+    import re as _re
+
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import patches, pyplot as plt
+
+    from ..data import transforms as T
+    from ..data.grocery import (GroceryProductsDataset,
+                                GroceryProductsTestSet)
+
+    ann_re = _re.compile(r"^(Food/)?(.*?)\..*$")
+
+    def shorten(ann):
+        m = ann_re.match(ann)
+        return m.group(2) if m else ann
+
+    trainset = GroceryProductsDataset(list(train_imgs), random_crop=False)
+    testset = GroceryProductsTestSet(test_imgs, annotations)
+    rng = np.random.default_rng(seed)
+    picks = rng.choice(len(testset), size=min(2, len(testset)),
+                       replace=False)
+    samples = [testset[int(i)] for i in picks]
+
+    uniq = {a for _, anns, _ in samples for a in anns}
+    prod_idx = [i for i in (trainset.index_for_ann(a) for a in sorted(uniq))
+                if i is not None][:8]
+    while len(prod_idx) < min(8, len(trainset)):
+        j = int(rng.integers(0, len(trainset)))
+        if j not in prod_idx:
+            prod_idx.append(j)
+
+    fig = plt.figure(figsize=(16, 12))
+    for col, (img, anns, boxes) in enumerate(samples):
+        ax = fig.add_subplot(3, 2, col + 1)
+        ax.imshow(img)
+        for (x1, y1, x2, y2), a in zip(boxes, anns):
+            ax.add_patch(patches.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                           fill=False, edgecolor="lime"))
+            ax.text(x1, y1, shorten(a), color="yellow", fontsize=5)
+        ax.axis("off")
+    for i, idx in enumerate(prod_idx):
+        ax = fig.add_subplot(3, 4, 5 + i)
+        ax.imshow(T.load_image(trainset.paths[idx]))
+        ax.set_title(shorten(trainset.annotations[idx]), fontsize=7)
+        ax.axis("off")
+    fig.savefig(out, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+    click.echo(f"saved {out}")
 
 
 @gp.command("visualize-baseline")
