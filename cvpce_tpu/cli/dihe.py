@@ -270,11 +270,16 @@ def visualize_performance(index, weights, images, out, k):
               show_default=True)
 @click.option("--out", required=True, type=click.Path())
 @click.option("--gan", "gan_path", default=None)
-@click.option("--trials", default=16, show_default=True)
+@click.option("--trials", default=16, show_default=True,
+              help="TOTAL trial budget (incl. restored on --resume)")
 @click.option("--max-epochs", default=6, show_default=True)
+@click.option("--resume", is_flag=True,
+              help="restore search_state.json from --out and continue "
+                   "(the reference's --load/--load-algo, "
+                   "cvpce/cli/dihe.py:212-213)")
 @click.option("--batch-size", default=4, show_default=True)
 def hyperopt(source, source_type, only, imgs, annotations, test_imgs,
-             test_annotations, out, gan_path, trials, max_epochs,
+             test_annotations, out, gan_path, trials, max_epochs, resume,
              batch_size):
     """Hyperparameter search over the reference's DIHE space
     (cvpce/cli/dihe.py:224-228: batchnorm, enc_multiplier, enc_lr) with
@@ -334,7 +339,9 @@ def hyperopt(source, source_type, only, imgs, annotations, test_imgs,
         return metrics.get("accuracy", 0.0), carry
 
     result = run_search(train_one_epoch, DIHE_SPACE, num_trials=trials,
-                        max_epochs=max_epochs, devices=jax.devices())
+                        max_epochs=max_epochs, devices=jax.devices(),
+                        state_path=path.join(out, "search_state.json"),
+                        resume=resume)
     click.echo(json.dumps({"best_config": result["best_config"],
                            "best_metric": result["best_metric"]}, indent=2))
     with open(path.join(out, "hyperopt_result.json"), "w") as f:

@@ -305,13 +305,18 @@ def seek_outliers(imgs, annotations, weights, sigmas):
 @click.option("--evalimgs", default=None)
 @click.option("--evalannotations", default=None)
 @click.option("--out", required=True, type=click.Path())
-@click.option("--trials", default=16, show_default=True)
+@click.option("--trials", default=16, show_default=True,
+              help="TOTAL trial budget (incl. restored on --resume)")
 @click.option("--max-epochs", default=9, show_default=True)
+@click.option("--resume", is_flag=True,
+              help="restore search_state.json from --out and continue "
+                   "(the reference's --load/--load-algo, "
+                   "cvpce/cli/gln.py:212-213)")
 @click.option("--batch-size", default=1, show_default=True)
 @click.option("--canvas", nargs=2, type=int, default=(832, 1344),
               show_default=True, help="detector canvas (h w)")
 def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
-             max_epochs, batch_size, canvas):
+             max_epochs, resume, batch_size, canvas):
     """Hyperparameter search over the reference's GLN space
     (cvpce/cli/gln.py:171-200) with ASHA early stopping and
     exploding-gradient tolerance (max_failures=2, cli/gln.py:215)."""
@@ -377,7 +382,9 @@ def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
     from os import path
 
     result = run_search(train_one_epoch, GLN_SPACE, num_trials=trials,
-                        max_epochs=max_epochs, devices=jax.devices())
+                        max_epochs=max_epochs, devices=jax.devices(),
+                        state_path=path.join(out, "search_state.json"),
+                        resume=resume)
     click.echo(json.dumps({"best_config": result["best_config"],
                            "best_metric": result["best_metric"]}, indent=2))
     with open(path.join(out, "hyperopt_result.json"), "w") as f:

@@ -232,6 +232,8 @@ def run_search(
     verbose: bool = True,
     sampler: str = "tpe",
     devices: Optional[Sequence] = None,
+    state_path: Optional[str] = None,
+    resume: bool = False,
 ) -> Dict:
     """Run the search, one concurrent trial per device.
 
@@ -245,16 +247,54 @@ def run_search(
       sampler: 'tpe' (HyperOptSearch-equivalent) or 'random'.
       devices: devices to parallelize over (e.g. jax.devices()); one
         worker thread per device. None -> a single worker, no device pin.
+      state_path: persist search state (every trial's config + per-epoch
+        metrics) to this JSON after every result — the Ray Tune
+        experiment-state analogue (cvpce/cli/gln.py:212-213 --load /
+        --load-algo).
+      resume: restore `state_path` first. Finished trials keep their
+        results (and feed the TPE densities); trials interrupted
+        mid-flight are retained as stopped (their live training state is
+        gone). `num_trials` is the TOTAL budget including restored
+        trials.
 
     Returns dict with 'best_config', 'best_metric', 'trials'.
     """
-    rng = np.random.default_rng(seed)
-    tpe = TPESampler(space, seed=seed) if sampler == "tpe" else None
+    import json
+    import os
+
     scheduler = ASHA(max_epochs, grace_period, reduction_factor)
     trials: List[Trial] = []
     lock = threading.Lock()
     next_id = [0]
+    if resume and state_path and os.path.exists(state_path):
+        with open(state_path) as f:
+            saved = json.load(f)
+        for t in saved["trials"]:
+            tr = Trial(t["trial_id"], t["config"], list(t["results"]),
+                       t["failed"], t["stopped"])
+            if not tr.failed and not tr.stopped \
+                    and len(tr.results) < max_epochs:
+                tr.stopped = True  # interrupted; results kept, not re-run
+            trials.append(tr)
+        next_id[0] = max((t.trial_id for t in trials), default=-1) + 1
+        if verbose:
+            print(f"resumed {len(trials)} trials from {state_path}")
+    # offset the seed by restored trials so resumed startup sampling
+    # doesn't replay the same random configs
+    rng = np.random.default_rng(seed + next_id[0])
+    tpe = TPESampler(space, seed=seed + next_id[0]) \
+        if sampler == "tpe" else None
     wants_device = "device" in inspect.signature(train_one_epoch).parameters
+
+    def save_state() -> None:
+        # caller holds `lock`
+        if not state_path:
+            return
+        payload = {"trials": [dataclasses.asdict(t) for t in trials]}
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, state_path)
 
     def sample_config():
         if tpe is None:
@@ -281,17 +321,21 @@ def run_search(
                     print(f"[trial {trial.trial_id}] failure "
                           f"{failures}: {e}")
                 if failures > max_failures:
-                    trial.failed = True
+                    with lock:
+                        trial.failed = True
+                        save_state()
                     break
                 continue
             with lock:
                 trial.results.append(float(metric))
                 stop = scheduler.should_stop(trial, trials)
+                if stop:
+                    trial.stopped = True
+                save_state()
             if verbose:
                 print(f"[trial {trial.trial_id}] epoch {epoch}: "
                       f"{metric:.4f} config={trial.config}")
             if stop:
-                trial.stopped = True
                 break
             epoch += 1
 
@@ -330,8 +374,10 @@ def trial_dir_allocator(base_dir: str) -> Callable[[], str]:
 
     Shared by the gln/dihe hyperopt CLIs — each trial's first epoch
     allocates a directory that then rides the ASHA `carry` so later
-    epochs resume the same run."""
+    epochs resume the same run. Existing directories are skipped so a
+    resumed search never reuses a previous run's trial dir."""
     import itertools
+    import os
     from os import path
 
     lock = threading.Lock()
@@ -339,7 +385,10 @@ def trial_dir_allocator(base_dir: str) -> Callable[[], str]:
 
     def allocate() -> str:
         with lock:
-            return path.join(base_dir, f"trial_{next(seq):03d}")
+            while True:
+                cand = path.join(base_dir, f"trial_{next(seq):03d}")
+                if not os.path.exists(cand):
+                    return cand
 
     return allocate
 

@@ -132,3 +132,68 @@ def test_failures_tolerated_then_fatal():
     assert res["best_config"] is None
     # each trial tries max_failures + 1 times
     assert calls["n"] == 2 * 3
+
+
+def test_state_persistence_and_resume(tmp_path):
+    """run_search persists every trial's config/results to state_path;
+    resume restores them (finished trials feed the sampler, interrupted
+    trials are retained as stopped) and only the remaining budget runs
+    (the reference's Ray --load/--load-algo, cvpce/cli/gln.py:212-213)."""
+    import json
+
+    state = str(tmp_path / "search_state.json")
+    ran = []
+
+    def train_one_epoch(config, epoch, carry):
+        ran.append(config["x"])
+        return 1 - abs(config["x"] - 0.7), None
+
+    r1 = run_search(train_one_epoch, {"x": Uniform(0, 1)}, num_trials=4,
+                    max_epochs=1, seed=3, verbose=False, state_path=state)
+    assert len(r1["trials"]) == 4
+    saved = json.load(open(state))
+    assert len(saved["trials"]) == 4
+    assert all(len(t["results"]) == 1 for t in saved["trials"])
+
+    # simulate a trial interrupted before its first result landed
+    saved["trials"][2]["stopped"] = False
+    saved["trials"][2]["results"] = []
+    json.dump(saved, open(state, "w"))
+
+    first_run_count = len(ran)
+    r2 = run_search(train_one_epoch, {"x": Uniform(0, 1)}, num_trials=6,
+                    max_epochs=1, seed=3, verbose=False, state_path=state,
+                    resume=True)
+    assert len(r2["trials"]) == 6
+    # only the 2 new trials actually trained
+    assert len(ran) == first_run_count + 2
+    # restored results survived (incl. the interrupted trial's)
+    restored = {t.trial_id: t for t in r2["trials"]}
+    for t in saved["trials"]:
+        assert restored[t["trial_id"]].results == t["results"]
+    assert restored[2].stopped  # interrupted -> retained as stopped
+    # final state file covers all 6
+    final = json.load(open(state))
+    assert len(final["trials"]) == 6
+
+
+def test_resume_without_state_is_fresh(tmp_path):
+    def train_one_epoch(config, epoch, carry):
+        return config["x"], None
+
+    res = run_search(train_one_epoch, {"x": Uniform(0, 1)}, num_trials=2,
+                     max_epochs=1, seed=0, verbose=False,
+                     state_path=str(tmp_path / "none.json"), resume=True)
+    assert len(res["trials"]) == 2
+
+
+def test_trial_dir_allocator_skips_existing(tmp_path):
+    import os
+
+    from cvpce_tpu.train.hyperopt import trial_dir_allocator
+
+    os.makedirs(tmp_path / "trial_001")
+    os.makedirs(tmp_path / "trial_002")
+    alloc = trial_dir_allocator(str(tmp_path))
+    assert alloc().endswith("trial_003")
+    assert alloc().endswith("trial_004")
