@@ -78,6 +78,14 @@ class TestGrainLoader:
             for k in (0, 1, len(full) - 1, len(full)):
                 assert list(ld.iter_from(k)) == full[k:], (drop, k)
 
+    def test_iterator_reshuffles_per_epoch(self):
+        ld = GrainLoader(_Ints(12), 3, _collate, seed=4)
+        batches = list(ld.iterator(num_epochs=2))
+        e0 = [x for b in batches[:4] for x in b]
+        e1 = [x for b in batches[4:] for x in b]
+        assert sorted(e0) == sorted(e1) == list(range(12))
+        assert e0 != e1
+
     def test_mid_epoch_resume(self):
         ld = GrainLoader(_Ints(40), 4, _collate, seed=3)
         it = ld.iterator(num_epochs=2)
