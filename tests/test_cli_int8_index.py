@@ -54,9 +54,8 @@ def test_prebuild_index_int8_then_eval(gp_fixture, tmp_path):
     assert all(s > 0 for s in np.asarray(
         [float(v) for v in _leaves(scales)]))
 
-    # --validation: the default split SKIPS the first 2 annotations per
-    # image (defaults.GP_TEST_VALIDATION_SET_SIZE) — exactly this
-    # fixture's 2 — so eval the validation slice instead
+    # --validation keeps the first 2 annotations per image
+    # (defaults.GP_TEST_VALIDATION_SET_SIZE) — exactly this fixture's 2
     r = CliRunner().invoke(cli, [
         "dihe", "eval", "--index", str(idx), "--int8", "--validation",
         "--test-imgs", str(img_dir), "--test-annotations", str(ann_dir),
@@ -65,6 +64,18 @@ def test_prebuild_index_int8_then_eval(gp_fixture, tmp_path):
     acc = json.loads(r.output.strip().splitlines()[-1])
     assert set(acc) == {"1"}
     assert 0.0 <= acc["1"] <= 1.0
+
+    # int8 scales + gallery sharding compose: restored static scales
+    # embed the queries, the sharded search must match the single-device
+    # accuracy exactly (merge is bit-identical)
+    r2 = CliRunner().invoke(cli, [
+        "dihe", "eval", "--index", str(idx), "--int8", "--validation",
+        "--sharded-gallery",
+        "--test-imgs", str(img_dir), "--test-annotations", str(ann_dir),
+        "--batch-size", "2", "--k", "1"])
+    assert r2.exit_code == 0, r2.output
+    acc2 = json.loads(r2.output.strip().splitlines()[-1])
+    assert acc2 == acc
 
 
 def _leaves(tree):
