@@ -87,9 +87,16 @@ def build_assistant(canvas):
 @click.option("--grain", is_flag=True,
               help="grain input pipeline (deterministic multi-host "
                    "order, mid-epoch resumable)")
+@click.option("--canvas", nargs=2, type=int, default=(832, 1344),
+              show_default=True,
+              help="detector canvas (h w); static shapes replace the "
+                   "reference's variable-size RetinaNet transform")
+@click.option("--max-detections", default=1000, show_default=True)
+@click.option("--nms-candidates", default=5120, show_default=True)
 def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
           tanh, method, batch_size, epochs, gauss_loss_neg_thresh,
-          gauss_loss_pos_thresh, hyperopt_params, grain):
+          gauss_loss_pos_thresh, hyperopt_params, grain, canvas,
+          max_detections, nms_candidates):
     """Train GLN on SKU-110K (cvpce/cli/gln.py:59-133). Best model used
     `--tanh --method simple --hyperopt-params`."""
     from ..data.sku110k import SKU110KDataset
@@ -97,7 +104,9 @@ def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
     from ..train.loops import train_proposal_generator
 
     method_map = {"normal": "mvn", "kant": "kant", "simple": "simple"}
-    model_cfg = GLNConfig(tanh=tanh)
+    model_cfg = GLNConfig(tanh=tanh, canvas_h=canvas[0], canvas_w=canvas[1],
+                          detections_per_img=max_detections,
+                          max_nms_candidates=nms_candidates)
     lr_multiplier = 0.99
     neg, pos = gauss_loss_neg_thresh, gauss_loss_pos_thresh
     if hyperopt_params:
