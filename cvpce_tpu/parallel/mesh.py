@@ -57,8 +57,16 @@ def make_dp_train_step(train_step: Callable, mesh: Mesh,
     data = NamedSharding(
         mesh, P(*([None] * batch_axis), mesh.axis_names[0]))
     jitted_by_arity: dict = {}
+    multiprocess = jax.process_count() > 1
 
     def step(state, *batch):
+        if multiprocess:
+            # each host holds its own slice of the global batch (loader
+            # sharded by host_shard_info); assemble the global arrays —
+            # the JAX replacement for DistributedSampler + DDP scatter
+            batch = tuple(
+                jax.make_array_from_process_local_data(data, np.asarray(b))
+                for b in batch)
         n = len(batch)
         if n not in jitted_by_arity:
             jitted_by_arity[n] = jax.jit(
@@ -72,8 +80,28 @@ def make_dp_train_step(train_step: Callable, mesh: Mesh,
 
 
 def put_replicated(tree, mesh: Mesh):
+    if jax.process_count() > 1:
+        # every host carries the full (identical) value; build the global
+        # replicated array from the process-local copy
+        repl = replicate(mesh)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, np.asarray(x)), tree)
     return jax.device_put(tree, replicate(mesh))
 
 
 def put_sharded(tree, mesh: Mesh):
     return jax.device_put(tree, shard_batch(mesh))
+
+
+def host_local(x) -> np.ndarray:
+    """numpy value of an array on this host. Multi-host global arrays are
+    not fully addressable; for our REPLICATED state/metrics the local
+    shard is the whole value."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(x)
+
+
+def host_local_tree(tree):
+    return jax.tree.map(host_local, tree)

@@ -20,7 +20,15 @@ import orbax.checkpoint as ocp
 
 
 def _to_saveable(tree):
-    return jax.tree.map(np.asarray, tree)
+    """Fetch every leaf to host numpy. Multi-host global arrays are not
+    fully addressable; our train state is fully REPLICATED across hosts
+    (parallel/mesh.py), so the local shard IS the value — fetching it
+    keeps checkpointing process-local (no cross-host orbax barriers)."""
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+    return jax.tree.map(fetch, tree)
 
 
 class CheckpointManager:

@@ -25,7 +25,8 @@ import numpy as np
 from ..data.loader import PrefetchLoader
 from ..data.sku110k import collate_detection
 from ..models.gln import GLNConfig
-from ..parallel import data_parallel_mesh, make_dp_train_step, put_replicated
+from ..parallel import (data_parallel_mesh, host_local, host_local_tree,
+                        make_dp_train_step, put_replicated)
 from . import gln as gln_train
 from .checkpoint import BestKeeper, CheckpointManager
 
@@ -51,13 +52,38 @@ def _resume_position(meta: Dict, steps_per_epoch: int, loader):
     return epoch, epoch_step + 1
 
 
-def _epoch_iter(loader, epoch: int, start_epoch: int, skip_batches: int):
+def _epoch_iter(loader, epoch: int, start_epoch: int, skip_batches: int,
+                steps_per_epoch: Optional[int] = None):
     """Iterate epoch `epoch`, skipping `skip_batches` on the resumed
-    first epoch only."""
+    first epoch only. `steps_per_epoch` bounds the epoch to a step count
+    common to every host — per-host shard sizes can differ by one batch,
+    and an uneven step count would deadlock the cross-host collectives."""
+    import itertools
+
     loader.set_epoch(epoch)
-    if skip_batches and epoch == start_epoch:
-        return loader.iter_from(skip_batches)
-    return iter(loader)
+    skip = skip_batches if epoch == start_epoch else 0
+    it = loader.iter_from(skip) if skip else iter(loader)
+    if steps_per_epoch is None:
+        return it
+    return itertools.islice(it, max(steps_per_epoch - skip, 0))
+
+
+def _host_sharding(use_mesh: bool, batch_size: int):
+    """(shard_index, num_shards, local_batch) for multi-host training:
+    each host loads a disjoint dataset shard and contributes
+    batch_size/num_hosts rows of the GLOBAL batch
+    (parallel/multihost.py replaces DistributedSampler,
+    cvpce/proposals_training.py:191-196)."""
+    if not use_mesh:
+        return 0, 1, batch_size
+    from ..parallel.multihost import host_shard_info
+
+    shard_index, num_shards = host_shard_info()
+    if num_shards == 1:
+        return 0, 1, batch_size
+    assert batch_size % num_shards == 0, (
+        f"global batch {batch_size} must divide over {num_shards} hosts")
+    return shard_index, num_shards, batch_size // num_shards
 
 
 def train_proposal_generator(
@@ -96,9 +122,14 @@ def train_proposal_generator(
     from ..eval.proposals import evaluate_gln
 
     os.makedirs(output_path, exist_ok=True)
-    loader = loader_cls(dataset, batch_size, collate_detection,
-                        shuffle=True, seed=seed)
+    shard_index, num_shards, local_bs = _host_sharding(use_mesh, batch_size)
+    loader = loader_cls(dataset, local_bs, collate_detection,
+                        shuffle=True, seed=seed,
+                        shard_index=shard_index, num_shards=num_shards)
     steps_per_epoch = max(len(loader), 1)
+    if num_shards > 1:
+        # common per-host step count (shard sizes can differ by one)
+        steps_per_epoch = max((len(dataset) // num_shards) // local_bs, 1)
     cfg = train_cfg or gln_train.GLNTrainConfig()
     cfg = gln_train.GLNTrainConfig(**{
         **cfg.__dict__, "steps_per_epoch": steps_per_epoch})
@@ -160,8 +191,10 @@ def train_proposal_generator(
         try:
             from ..utils.viz import save_boxes, save_heatmap
 
-            variables = {"params": state.params, "frozen": state.frozen,
-                         "batch_stats": state.batch_stats}
+            # host-local copies: inference jits run per-host
+            variables = host_local_tree(
+                {"params": state.params, "frozen": state.frozen,
+                 "batch_stats": state.batch_stats})
             res = get_infer_fn()(
                 variables,
                 jnp.asarray(sample["image"][None]),
@@ -191,13 +224,13 @@ def train_proposal_generator(
             stacked = [np.stack([b[key] for b in chunk]) for key in
                        ("images", "boxes", "box_valid", "image_sizes")]
             state, metrics = step_fn(state, *stacked)
-            per_step = {k: np.asarray(v) for k, v in metrics.items()}
+            per_step = {k: host_local(v) for k, v in metrics.items()}
         else:
             batch = chunk[0]
             state, metrics = step_fn(
                 state, batch["images"], batch["boxes"],
                 batch["box_valid"], batch["image_sizes"])
-            per_step = {k: np.asarray(v)[None] for k, v in metrics.items()}
+            per_step = {k: host_local(v)[None] for k, v in metrics.items()}
         elapsed = (time.time() - t0) / len(chunk)
         pending_save = False
         for s in range(len(chunk)):
@@ -232,7 +265,8 @@ def train_proposal_generator(
     for e in range(start_epoch, end_epoch):
         epoch_step = skip_batches - 1 if e == start_epoch else -1
         chunk = []
-        for batch in _epoch_iter(loader, e, start_epoch, skip_batches):
+        for batch in _epoch_iter(loader, e, start_epoch, skip_batches,
+                                 steps_per_epoch):
             chunk.append(batch)
             if len(chunk) == steps_per_call:
                 run_chunk(chunk, e)
@@ -259,8 +293,9 @@ def train_proposal_generator(
         final = e == end_epoch - 1
         if e % eval_interval == 0 or final:
             print("Evaluating...")
-            variables = {"params": state.params, "frozen": state.frozen,
-                         "batch_stats": state.batch_stats}
+            variables = host_local_tree(
+                {"params": state.params, "frozen": state.frozen,
+                 "batch_stats": state.batch_stats})
             res = evaluate_gln(variables, evalset, model_cfg,
                                thresholds=(eval_threshold,),
                                infer_fn=get_infer_fn())
@@ -366,9 +401,14 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
         hiers = [it[2] for it in items]
         return embs, gens, hiers
 
-    loader = loader_cls(dataset, batch_size * 2, collate, shuffle=True,
-                        seed=seed)
+    shard_index, num_shards, local_bs = _host_sharding(use_mesh, batch_size)
+    loader = loader_cls(dataset, local_bs * 2, collate, shuffle=True,
+                        seed=seed,
+                        shard_index=shard_index, num_shards=num_shards)
     steps_per_epoch = max(len(loader), 1)
+    if num_shards > 1:
+        steps_per_epoch = max(
+            (len(dataset) // num_shards) // (local_bs * 2), 1)
     cfg = train_cfg or DIHETrainConfig()
     cfg = DIHETrainConfig(**{**cfg.__dict__,
                              "steps_per_epoch": steps_per_epoch})
@@ -405,8 +445,9 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
 
     def encoder_fn_factory():
         def encode(imgs):
-            return _encode({"params": state.emb_params,
-                            "batch_stats": state.emb_stats}, imgs)
+            return _encode(host_local_tree(
+                {"params": state.emb_params,
+                 "batch_stats": state.emb_stats}), imgs)
         return encode
 
     start_epoch = 0
@@ -425,7 +466,8 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
     for e in range(start_epoch, end_epoch):
         epoch_step = skip_batches - 1 if e == start_epoch else -1
         for embs, gens, hiers in _epoch_iter(loader, e, start_epoch,
-                                             skip_batches):
+                                             skip_batches,
+                                             steps_per_epoch):
             block = len(embs) // 2
             if block == 0:
                 continue
@@ -440,7 +482,8 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
                                   disc_batch, sim)
             if iteration % 50 == 0:
                 print(f"batch:{iteration}\t" + "\t".join(
-                    f"{k}:{float(v):.4f}" for k, v in metrics.items()))
+                    f"{k}:{float(host_local(v)):.4f}"
+                    for k, v in metrics.items()))
             iteration += 1
             epoch_step += 1
             if (iteration - 1) % checkpoint_interval == 0:

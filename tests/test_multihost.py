@@ -107,3 +107,115 @@ def test_two_process_multihost_psum(tmp_path):
         # host 0 contributes 2 rows of four 1s, host 1 two rows of four
         # 2s: sum = 2*4*1 + 2*4*2 = 24
         assert o["psum_total"] == pytest.approx(24.0)
+
+
+TRAIN_WORKER = r"""
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2"
+                           ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["REPO_ROOT"])
+
+import numpy as np
+
+from cvpce_tpu.parallel import host_local
+from cvpce_tpu.parallel.multihost import initialize_multihost
+
+initialize_multihost()
+
+from cvpce_tpu.models.gln import GLNConfig
+from cvpce_tpu.train.gln import GLNTrainConfig
+from cvpce_tpu.train.loops import train_proposal_generator
+
+
+class SyntheticSet:
+    def __init__(self, n=8, canvas=64):
+        rng = np.random.default_rng(0)  # identical on every host
+        self.items = []
+        for _ in range(n):
+            img = rng.uniform(0, 1, (canvas, canvas, 3)).astype(np.float32)
+            nb = int(rng.integers(2, 5))
+            xy = rng.uniform(0, canvas - 20, (nb, 2)).astype(np.float32)
+            wh = rng.uniform(8, 18, (nb, 2)).astype(np.float32)
+            self.items.append({
+                "image": img,
+                "boxes": np.concatenate([xy, xy + wh], -1),
+                "image_size": np.array([canvas, canvas], np.int32),
+                "scale": np.float32(1.0),
+                "orig_boxes": np.concatenate([xy, xy + wh], -1),
+            })
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+model_cfg = GLNConfig(canvas_h=64, canvas_w=64, max_nms_candidates=128,
+                      detections_per_img=64)
+train_cfg = GLNTrainConfig(match_chunk=1024, min_negatives=64)
+dataset = SyntheticSet()
+out = os.path.join(os.environ["WORK_DIR"],
+                   f"host{jax.process_index()}")
+result = train_proposal_generator(
+    dataset, dataset, out, model_cfg=model_cfg, train_cfg=train_cfg,
+    batch_size=4, epochs=1, checkpoint_interval=100, eval_interval=100,
+    use_mesh=True)
+state = result["state"]
+checksum = float(sum(np.abs(host_local(l)).sum()
+                     for l in jax.tree.leaves(state.params)))
+print(json.dumps({
+    "process": jax.process_index(),
+    "steps": int(host_local(state.step)),
+    "checksum": checksum,
+    "devices": len(jax.devices()),
+}), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_multihost_gln_training(tmp_path):
+    """The REAL GLN training loop over 2 processes x 2 devices: each host
+    loads its own dataset shard (host_shard_info -> loader sharding),
+    contributes its half of the global batch
+    (make_array_from_process_local_data in the DP wrapper), grads
+    all-reduce across hosts, checkpoints save process-locally. Both
+    hosts must end bit-identical (replicated state)."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["REPO_ROOT"] = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        env["WORK_DIR"] = str(tmp_path)
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", TRAIN_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"train worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    outs.sort(key=lambda o: o["process"])
+    assert [o["process"] for o in outs] == [0, 1]
+    import math
+
+    for o in outs:
+        assert o["devices"] == 4
+        # 8 items over 2 host shards, local batch 2 -> 2 steps
+        assert o["steps"] == 2
+        assert math.isfinite(o["checksum"])
+    assert outs[0]["checksum"] == outs[1]["checksum"]
