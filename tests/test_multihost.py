@@ -165,10 +165,15 @@ train_cfg = GLNTrainConfig(match_chunk=1024, min_negatives=64)
 dataset = SyntheticSet()
 out = os.path.join(os.environ["WORK_DIR"],
                    f"host{jax.process_index()}")
+kwargs = {}
+if os.environ.get("LOADER_CLS") == "grain":
+    from cvpce_tpu.data.grain_loader import GrainLoader
+
+    kwargs["loader_cls"] = GrainLoader
 result = train_proposal_generator(
     dataset, dataset, out, model_cfg=model_cfg, train_cfg=train_cfg,
     batch_size=4, epochs=1, checkpoint_interval=100, eval_interval=100,
-    use_mesh=True)
+    use_mesh=True, **kwargs)
 state = result["state"]
 checksum = float(sum(np.abs(host_local(l)).sum()
                      for l in jax.tree.leaves(state.params)))
@@ -182,13 +187,16 @@ print(json.dumps({
 
 
 @pytest.mark.slow
-def test_two_process_multihost_gln_training(tmp_path):
+@pytest.mark.parametrize("loader_cls", ["prefetch", "grain"])
+def test_two_process_multihost_gln_training(tmp_path, loader_cls):
     """The REAL GLN training loop over 2 processes x 2 devices: each host
     loads its own dataset shard (host_shard_info -> loader sharding),
     contributes its half of the global batch
     (make_array_from_process_local_data in the DP wrapper), grads
     all-reduce across hosts, checkpoints save process-locally. Both
-    hosts must end bit-identical (replicated state)."""
+    hosts must end bit-identical (replicated state). Runs with both the
+    threaded PrefetchLoader and the grain loader (whose multi-host order
+    is deterministic with no rendezvous)."""
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -197,6 +205,7 @@ def test_two_process_multihost_gln_training(tmp_path):
         env["REPO_ROOT"] = os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))
         env["WORK_DIR"] = str(tmp_path)
+        env["LOADER_CLS"] = loader_cls
         env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
         env["JAX_NUM_PROCESSES"] = "2"
         env["JAX_PROCESS_ID"] = str(pid)
