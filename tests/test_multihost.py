@@ -228,3 +228,116 @@ def test_two_process_multihost_gln_training(tmp_path, loader_cls):
         assert o["steps"] == 2
         assert math.isfinite(o["checksum"])
     assert outs[0]["checksum"] == outs[1]["checksum"]
+
+
+DIHE_WORKER = r"""
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2"
+                           ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["REPO_ROOT"])
+
+import numpy as np
+
+from cvpce_tpu.parallel import host_local
+from cvpce_tpu.parallel.multihost import initialize_multihost
+
+initialize_multihost()
+
+from cvpce_tpu.train.dihe import DIHETrainConfig
+from cvpce_tpu.train import loops
+
+
+class GallerySet:
+    def __init__(self, n=16, size=64):
+        rng = np.random.default_rng(1)  # identical on every host
+        self.items = []
+        for i in range(n):
+            img = rng.uniform(-1, 1, (size, size, 3)).astype(np.float32)
+            crop = rng.uniform(-1, 1, (size, size, 3)).astype(np.float32)
+            hier = ["Food", f"Cat{i % 2}", f"Sub{i % 4}"]
+            self.items.append((img, crop, hier, f"p{i}"))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+class CropSet:
+    def __init__(self, n=8, size=64):
+        rng = np.random.default_rng(2)
+        self.crops = rng.uniform(0, 1, (n, size, size, 3)).astype(
+            np.float32)
+
+    def __len__(self):
+        return len(self.crops)
+
+    def __getitem__(self, i):
+        return self.crops[i]
+
+
+# monkeypatch the epoch-end eval (it needs a GP test set)
+import cvpce_tpu.eval.classification as ec
+
+ec.eval_dihe = lambda *a, **k: {1: 0.5}
+
+out = os.path.join(os.environ["WORK_DIR"],
+                   f"dihe_host{jax.process_index()}")
+result = loops.train_dihe(
+    GallerySet(), CropSet(), GallerySet(), None, out, epochs=1,
+    batch_size=4, checkpoint_interval=100,
+    train_cfg=DIHETrainConfig(gen_downs=4), use_mesh=True)
+state = result["state"]
+checksum = float(sum(np.abs(host_local(l)).sum()
+                     for l in jax.tree.leaves(state.emb_params)))
+print(json.dumps({
+    "process": jax.process_index(),
+    "steps": int(host_local(state.step)),
+    "checksum": checksum,
+}), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_multihost_dihe_training(tmp_path):
+    """The 3-player DIHE loop over 2 processes x 2 devices: per-host
+    loader shards of the 2x-batch stream, global-array assembly for all
+    five step inputs, cross-host all-reduce for every player's grads,
+    host-local encoder eval. Both hosts end bit-identical."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["REPO_ROOT"] = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        env["WORK_DIR"] = str(tmp_path)
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", DIHE_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"dihe worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    import math
+
+    outs.sort(key=lambda o: o["process"])
+    for o in outs:
+        # 16 items over 2 host shards (8), local 2x-batch 4 -> 2 steps
+        assert o["steps"] == 2
+        assert math.isfinite(o["checksum"])
+    assert outs[0]["checksum"] == outs[1]["checksum"]
