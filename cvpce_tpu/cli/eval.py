@@ -7,7 +7,6 @@ import click
 import numpy as np
 
 from ..data import defaults
-from ..models.gln import GLNConfig
 from .common import (default_gln_config, load_embedder,
                      load_gln_variables)
 
