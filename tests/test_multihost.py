@@ -214,7 +214,12 @@ def test_two_process_multihost_gln_training(tmp_path, loader_cls):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=900)
+        try:
+            out, err = p.communicate(timeout=2400)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
         assert p.returncode == 0, f"train worker failed:\n{err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
@@ -329,7 +334,12 @@ def test_two_process_multihost_dihe_training(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=900)
+        try:
+            out, err = p.communicate(timeout=2400)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
         assert p.returncode == 0, f"dihe worker failed:\n{err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
