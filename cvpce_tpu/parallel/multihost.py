@@ -40,6 +40,38 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         num_processes=num_processes,
         process_id=process_id,
     )
+    _warmup_collectives()
+
+
+def _warmup_collectives() -> None:
+    """Establish the cross-host collective context right after init.
+
+    The first cross-host collective triggers a rendezvous (Gloo TCP
+    context on CPU; on XLA's CPU backend the key-value exchange has a
+    hardcoded 30 s deadline). If that first collective only happens deep
+    inside a training step — i.e. after minutes of per-host compilation —
+    hosts can skew past the deadline and the whole job dies with
+    "Gloo context initialization failed: DEADLINE_EXCEEDED". Running one
+    trivial cross-host reduction here, microseconds after the
+    jax.distributed.initialize barrier released every host at once,
+    establishes the context while skew is negligible; later collectives
+    over the same device set reuse it. On TPU pods this is a cheap
+    fail-fast sanity barrier.
+    """
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devices = jax.devices()
+    mesh = Mesh(np.asarray(devices), ("all",))
+    sharding = NamedSharding(mesh, PartitionSpec("all"))
+    local = np.ones((len(jax.local_devices()),), np.float32)
+    arr = jax.make_array_from_process_local_data(sharding, local)
+    total = float(jax.jit(lambda x: x.sum())(arr))
+    expected = float(len(devices))
+    if total != expected:
+        raise RuntimeError(
+            f"multi-host warmup reduction returned {total}, expected "
+            f"{expected}: device mesh is inconsistent across hosts")
 
 
 def host_shard_info() -> Tuple[int, int]:
