@@ -47,8 +47,34 @@ SCORE_THRESH_LOGIT = float(np.log(0.05 / 0.95))  # GLNConfig.score_thresh
 CROP_BUCKETS = (64, 96, 128, 160, 192, 256, 320, 384, 512)
 
 
+_progress = {"stage": "start", "t": time.time()}
+
+
 def log(msg):
+    _progress["stage"] = str(msg)
+    _progress["t"] = time.time()
     print(msg, file=sys.stderr, flush=True)
+
+
+def _start_stall_heartbeat(interval=120.0):
+    """Emit a stderr heartbeat when no progress is logged for `interval`
+    seconds, so a hung run (e.g. a wedged device->host fetch path on a
+    tunneled TPU: execution completes, the first np.asarray never
+    returns — seen 2026-08-19) is diagnosable from the driver's stderr
+    capture. Diagnostics only: never aborts (big-graph remote compiles
+    legitimately take minutes) and never touches the JSON contract."""
+    import threading
+
+    def beat():
+        while True:
+            time.sleep(interval)
+            dt = time.time() - _progress["t"]
+            if dt > interval:
+                print(f"[bench watchdog] no progress for {dt:.0f}s; "
+                      f"last stage: {_progress['stage']!r}",
+                      file=sys.stderr, flush=True)
+
+    threading.Thread(target=beat, daemon=True).start()
 
 
 def _find_cls_bias_path(params):
@@ -94,6 +120,7 @@ def _scale_cls_kernel(variables, factor):
 
 
 def main():
+    _start_stall_heartbeat()
     import jax
     import jax.numpy as jnp
 
