@@ -47,12 +47,15 @@ SCORE_THRESH_LOGIT = float(np.log(0.05 / 0.95))  # GLNConfig.score_thresh
 CROP_BUCKETS = (64, 96, 128, 160, 192, 256, 320, 384, 512)
 
 
-_progress = {"stage": "start", "t": time.time()}
+# (stage, timestamp) swapped as one tuple so the watchdog thread never
+# pairs a new stage with an old timestamp (tuple assignment is atomic).
+_progress = ("start", time.time())
+_heartbeat_started = False
 
 
 def log(msg):
-    _progress["stage"] = str(msg)
-    _progress["t"] = time.time()
+    global _progress
+    _progress = (str(msg), time.time())
     print(msg, file=sys.stderr, flush=True)
 
 
@@ -62,16 +65,22 @@ def _start_stall_heartbeat(interval=120.0):
     tunneled TPU: execution completes, the first np.asarray never
     returns — seen 2026-08-19) is diagnosable from the driver's stderr
     capture. Diagnostics only: never aborts (big-graph remote compiles
-    legitimately take minutes) and never touches the JSON contract."""
+    legitimately take minutes) and never touches the JSON contract.
+    Singleton: repeated main() calls in one process reuse the thread."""
+    global _heartbeat_started
+    if _heartbeat_started:
+        return
+    _heartbeat_started = True
     import threading
 
     def beat():
         while True:
             time.sleep(interval)
-            dt = time.time() - _progress["t"]
+            stage, t = _progress
+            dt = time.time() - t
             if dt > interval:
                 print(f"[bench watchdog] no progress for {dt:.0f}s; "
-                      f"last stage: {_progress['stage']!r}",
+                      f"last stage: {stage!r}",
                       file=sys.stderr, flush=True)
 
     threading.Thread(target=beat, daemon=True).start()

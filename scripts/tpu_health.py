@@ -75,10 +75,24 @@ def main():
         # the leg that wedges: a scalar D2H transfer
         return float(np.asarray(state["r"]))
 
+    def bulk_fetch():
+        # a degradation mode the scalar probe can miss: small transfers
+        # work but multi-MB fetches stall (the ~25 MB/s state fetches in
+        # CLAUDE.md ride this leg; 32 MB ≈ 1.3s healthy).
+        jax = state["jax"]
+        import jax.numpy as jnp
+
+        big = jax.jit(
+            lambda x: jnp.tile(x, (128, 1024)))(state["a"])  # 32 MB f32
+        big.block_until_ready()
+        arr = np.asarray(big)
+        return f"{arr.nbytes / 1e6:.0f} MB fetched, sum={arr.sum():.0f}"
+
     ok = (stage("devices (plugin init + enumeration)", devices, 60)
           and stage("device_put (H2D)", put, 60)
           and stage("jit execute + block_until_ready", execute, 300)
-          and stage("fetch (D2H)  <- the leg that wedges", fetch, 120))
+          and stage("fetch (D2H)  <- the leg that wedges", fetch, 120)
+          and stage("bulk fetch (32 MB D2H)", bulk_fetch, 120))
     print("TUNNEL HEALTHY" if ok else "TUNNEL BROKEN", flush=True)
     sys.stdout.flush()
     sys.stderr.flush()
