@@ -20,128 +20,115 @@ from . import transforms as T
 from .grocery import GroceryProductsTestSet
 
 
-def _flip_ns(direction: str) -> str:
-    d = direction.upper()
-    if "N" in d:
-        return d.replace("N", "S")
-    if "S" in d:
-        return d.replace("S", "N")
-    return d
+# Tonioni JSON neighbor key -> detector-space edge direction. The JSON's
+# y axis points up while detections grow downward, so n/s invert.
+_KEY_TO_DETECTOR_DIR = {"n": "S", "s": "N", "e": "E", "w": "W"}
+
+
+def _walk_chain(g: nx.DiGraph, head: int, direction: str,
+                axis_name: str, src: str) -> List[int]:
+    """Follow `direction` edges from a grid-edge node. A well-formed
+    planogram grid has at most one successor per node per direction."""
+    chain = [head]
+    while True:
+        succ = [v for v in g[chain[-1]]
+                if g[chain[-1]][v]["dir"] == direction]
+        if not succ:
+            return chain
+        if len(succ) > 1:
+            raise RuntimeError(
+                f"planogram grid is not a chain along {axis_name}: "
+                f"node {chain[-1]} has {direction}-successors "
+                f"{sorted(succ)} ({src})")
+        chain.append(succ[0])
+
+
+def _solve_axis(chains: List[List[int]], membership: Dict[int, int],
+                extent: Dict[int, float]) -> Dict[int, float]:
+    """Solve 1-D coordinates for the cross-chain ids of one grid axis.
+
+    Each chain lays its nodes out consecutively by their extents; a
+    cross id shared by several chains takes the maximum start seen.
+    Two sweeps: the first anchors every chain to an already-solved
+    cross id where possible (else 0) and collects maxima; the second
+    pushes residual overlaps forward in chain order. Used for both
+    column-x (row chains, widths) and row-y (column chains, heights);
+    semantics match cvpce/planogram_adapters.py:55-103.
+    """
+    coord: Dict[int, float] = {}
+    for chain in chains:
+        anchor = 0.0
+        run = 0.0
+        for node in chain:
+            cid = membership[node]
+            if cid in coord:
+                anchor = coord[cid] - run
+                break
+            run += extent[node]
+        run = anchor
+        for node in chain:
+            cid = membership[node]
+            coord[cid] = max(run, coord.get(cid, float("-inf")))
+            run += extent[node]
+    for chain in chains:
+        frontier = coord[membership[chain[0]]] + extent[chain[0]]
+        for node in chain[1:]:
+            cid = membership[node]
+            coord[cid] = max(coord[cid], frontier)
+            frontier = coord[cid] + extent[node]
+    return coord
 
 
 def read_tonioni_planogram(planogram_path: str):
-    """Returns (boxes (N, 4) float32, labels list[str], nx.DiGraph)."""
-    with open(planogram_path, "r") as f:
-        plano = json.load(f)
+    """Parse a GP-180 planogram grid JSON into concrete geometry.
 
-    def obj(node):
-        return plano["objects"][g.nodes[node]["ogg"]]
+    Returns (boxes (N, 4) float32 xyxy, labels list[str], nx.DiGraph
+    with `label` node attrs and `dir` edge attrs). Same contract as
+    cvpce/planogram_adapters.py:17-122: nodes carry n/s/e/w neighbor
+    indices (-1 = none) plus an `ogg` product ref; box sizes come from
+    the product widths/heights and positions from chain-walking the
+    grid's west and south edges.
+    """
+    with open(planogram_path, "r") as f:
+        spec = json.load(f)
 
     g = nx.DiGraph()
-    western, southern = set(), set()
-    for i, entry in enumerate(plano["graph"]):
-        g.add_node(i, ogg=entry["ogg"])
-        g.add_edges_from(
-            (i, j, {"dir": _flip_ns(k)})
-            for k, j in entry.items() if k != "ogg" and j >= 0
-        )
-        if entry["w"] == -1:
-            western.add(i)
-        if entry["n"] == -1:  # flipped: these become southern edge nodes
-            southern.add(i)
+    for i, entry in enumerate(spec["graph"]):
+        g.add_node(i)
+        for key, det_dir in _KEY_TO_DETECTOR_DIR.items():
+            if entry.get(key, -1) >= 0:
+                g.add_edge(i, entry[key], dir=det_dir)
 
-    rows = {w: [] for w in western}
-    cols = {s: [] for s in southern}
-    for start, row in rows.items():
-        nxt = [start]
-        prev = -1
-        while nxt:
-            if len(nxt) > 1:
-                raise RuntimeError(
-                    f"Multiple nodes east from {prev}: {nxt} "
-                    f"(file: {planogram_path})")
-            cur = nxt[0]
-            g.nodes[cur]["row"] = start
-            row.append(cur)
-            prev = cur
-            nxt = [e for e in g[cur] if g[cur][e]["dir"] == "E"]
-    for start, col in cols.items():
-        nxt = [start]
-        prev = -1
-        while nxt:
-            if len(nxt) > 1:
-                raise RuntimeError(
-                    f"Multiple nodes north from {prev}: {nxt} "
-                    f"(file: {planogram_path})")
-            cur = nxt[0]
-            g.nodes[cur]["col"] = start
-            col.append(cur)
-            prev = cur
-            nxt = [n for n in g[cur] if g[cur][n]["dir"] == "N"]
+    products = [spec["objects"][entry["ogg"]] for entry in spec["graph"]]
+    width = {i: float(p["width"]) for i, p in enumerate(products)}
+    height = {i: float(p["height"]) for i, p in enumerate(products)}
 
-    row_y = {w: float("-inf") for w in rows}
-    col_x = {s: float("-inf") for s in cols}
-    for row in rows.values():
-        baseline = 0.0
-        x = 0.0
-        for p in row:
-            col = g.nodes[p]["col"]
-            if col_x[col] > float("-inf"):
-                baseline = col_x[col] - x
-                break
-            x += obj(p)["width"]
-        x = baseline
-        for p in row:
-            col = g.nodes[p]["col"]
-            col_x[col] = max(x, col_x[col])
-            x += obj(p)["width"]
-    for col in cols.values():
-        baseline = 0.0
-        y = 0.0
-        for p in col:
-            row = g.nodes[p]["row"]
-            if row_y[row] > float("-inf"):
-                baseline = row_y[row] - y
-                break
-            y += obj(p)["height"]
-        y = baseline
-        for p in col:
-            row = g.nodes[p]["row"]
-            row_y[row] = max(y, row_y[row])
-            y += obj(p)["height"]
+    # grid-edge heads: rows start where nothing lies west; columns start
+    # where nothing lies south (= JSON north, pre-flip).
+    row_chains = [
+        _walk_chain(g, i, "E", "a shelf row", planogram_path)
+        for i, entry in enumerate(spec["graph"]) if entry["w"] == -1]
+    col_chains = [
+        _walk_chain(g, i, "N", "a product column", planogram_path)
+        for i, entry in enumerate(spec["graph"]) if entry["n"] == -1]
+    row_of = {n: chain[0] for chain in row_chains for n in chain}
+    col_of = {n: chain[0] for chain in col_chains for n in chain}
 
-    # second pass: push overlapping columns/rows apart
-    for row in rows.values():
-        x = col_x[g.nodes[row[0]]["col"]] + obj(row[0])["width"]
-        for p in row[1:]:
-            col = g.nodes[p]["col"]
-            if x > col_x[col]:
-                col_x[col] = x
-            else:
-                x = col_x[col]
-            x += obj(p)["width"]
-    for col in cols.values():
-        y = row_y[g.nodes[col[0]]["row"]] + obj(col[0])["height"]
-        for p in col[1:]:
-            row = g.nodes[p]["row"]
-            if y > row_y[row]:
-                row_y[row] = y
-            else:
-                y = row_y[row]
-            y += obj(p)["height"]
+    col_x = _solve_axis(row_chains, col_of, width)
+    row_y = _solve_axis(col_chains, row_of, height)
 
-    n_nodes = len(plano["graph"])
-    boxes = np.zeros((n_nodes, 4), np.float32)
-    for i in range(n_nodes):
-        o = obj(i)
-        x1 = col_x[g.nodes[i]["col"]]
-        y2 = row_y[g.nodes[i]["row"]]
-        boxes[i] = [x1, y2 - o["height"], x1 + o["width"], y2]
-    for i in g:
-        label = obj(i)["img_path"].split(".")[0]
-        del g.nodes[i]["row"], g.nodes[i]["col"], g.nodes[i]["ogg"]
+    n = len(spec["graph"])
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        x1 = col_x[col_of[i]]
+        y2 = row_y[row_of[i]]  # row coordinate = the box's bottom edge
+        boxes[i] = [x1, y2 - height[i], x1 + width[i], y2]
+
+    # label = img_path up to its first dot (keeps any directory prefix —
+    # GP annotations use category-path labels)
+    labels = [p["img_path"].split(".")[0] for p in products]
+    for i, label in enumerate(labels):
         g.nodes[i]["label"] = label
-    labels = [g.nodes[i]["label"] for i in range(n_nodes)]
 
     return boxes, labels, g
 

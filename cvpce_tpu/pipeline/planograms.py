@@ -97,99 +97,137 @@ def build_graph(boxes, labels: Sequence, thresh_size: float = 0.5) -> nx.DiGraph
     return g
 
 
-def _build_hypothesis(g1, g2, n1, n2, edge_label: str):
-    neigh1 = {g1[n1][nn][edge_label]: g1.nodes[nn] for nn in g1[n1]}
-    neigh2 = {g2[n2][nn][edge_label]: g2.nodes[nn] for nn in g2[n2]}
-    score = sum(neigh1[lbl] == neigh2[lbl] for lbl in neigh1 if lbl in neigh2)
-    return (-score / len(CARDINALS), n1, n2)
+def _outgoing_by_dir(g: nx.DiGraph, n, edge_label: str) -> Dict:
+    """Direction -> neighbor attr-dict for one node's out-edges. Planogram
+    graphs carry at most one out-edge per cardinal, so a flat dict is
+    lossless here (later duplicates would shadow earlier ones, matching
+    reference dict-build order, planograms.py:76-82)."""
+    return {g[n][v][edge_label]: g.nodes[v] for v in g[n]}
 
 
 def build_hypotheses(g1: nx.DiGraph, g2: nx.DiGraph,
                      edge_label: str = "dir") -> List[Tuple]:
-    """Label-equal node pairs scored by matching-neighbor count
-    (planograms.py:73-93); sorted best (most negative) first."""
-    hypotheses = [
-        _build_hypothesis(g1, g2, n1, n2, edge_label)
-        for n1 in g1 for n2 in g2
-        if g1.nodes[n1] == g2.nodes[n2]
-    ]
-    return sorted(hypotheses)
+    """Candidate node correspondences, best first.
+
+    A hypothesis pairs two like-labeled nodes; its score is the fraction
+    of the 8 cardinals where both nodes see a like-labeled neighbor
+    (planograms.py:73-93). Sorted ascending on the NEGATED score so
+    index 0 is the strongest candidate. The per-node direction tables
+    are built once per graph instead of per pair."""
+    table1 = {n: _outgoing_by_dir(g1, n, edge_label) for n in g1}
+    table2 = {n: _outgoing_by_dir(g2, n, edge_label) for n in g2}
+    out = []
+    for n1 in g1:
+        for n2 in g2:
+            if g1.nodes[n1] != g2.nodes[n2]:
+                continue
+            d1, d2 = table1[n1], table2[n2]
+            agree = sum(1 for c, attrs in d1.items()
+                        if c in d2 and d2[c] == attrs)
+            out.append((-agree / len(CARDINALS), n1, n2))
+    out.sort()
+    return out
 
 
-def _get_next(g1, g2, n1, n2, edge_label: str) -> List[Tuple]:
-    return [
-        (e1, e2)
-        for e1 in g1[n1] for e2 in g2[n2]
-        if g1[n1][e1][edge_label] == g2[n2][e2][edge_label]
-        and g1.nodes[e1] == g2.nodes[e2]
-    ]
+def _aligned_neighbors(g1, g2, n1, n2, edge_label: str) -> List[Tuple]:
+    """Neighbor pairs reachable from (n1, n2) along a shared direction
+    with equal node attrs — the expansion step of region growing
+    (planograms.py:96-106). Order: g1 adjacency order, then g2's within
+    each direction (same enumeration order as a full pair scan)."""
+    bucket: Dict = {}
+    for e2 in g2[n2]:
+        bucket.setdefault(g2[n2][e2][edge_label], []).append(e2)
+    pairs = []
+    for e1 in g1[n1]:
+        for e2 in bucket.get(g1[n1][e1][edge_label], ()):
+            if g1.nodes[e1] == g2.nodes[e2]:
+                pairs.append((e1, e2))
+    return pairs
+
+
+def _grow_region(g1, g2, n1, n2, edge_label: str) -> Set[Tuple]:
+    """BFS-expand one seed correspondence into a maximal consistent
+    region: each node participates in at most one pair; expansion pairs
+    are consumed in discovery order."""
+    from collections import deque
+
+    region = {(n1, n2)}
+    taken1, taken2 = {n1}, {n2}
+    frontier = deque(_aligned_neighbors(g1, g2, n1, n2, edge_label))
+    while frontier:
+        a, b = frontier.popleft()
+        if a in taken1 or b in taken2:
+            continue
+        region.add((a, b))
+        taken1.add(a)
+        taken2.add(b)
+        frontier.extend(_aligned_neighbors(g1, g2, a, b, edge_label))
+    return region
 
 
 def large_common_subgraph(g1: nx.DiGraph, g2: nx.DiGraph,
                           edge_label: str = "dir", min_score: float = -0.2,
                           stop_at_fraction: float = 0.5) -> Set[Tuple]:
-    """Greedy region growing from the best hypothesis, early-stopping at
-    half the smaller graph (planograms.py:107-132)."""
-    hypotheses = build_hypotheses(g1, g2, edge_label)
+    """Greedy common-subgraph search (planograms.py:107-132): grow a
+    region from each hypothesis in score order, stop early once a region
+    covers `stop_at_fraction` of the smaller graph, and give up on the
+    remaining seeds once scores fall below `min_score` (negated)."""
+    enough = min(len(g1), len(g2)) * stop_at_fraction
     best: Set[Tuple] = set()
-    stop_at = min(len(g1), len(g2)) * stop_at_fraction
-    for s, n1, n2 in hypotheses:
-        if s > min_score and best:
-            return best
-        to_check = _get_next(g1, g2, n1, n2, edge_label)
-        current = {(n1, n2)}
-        used1, used2 = {n1}, {n2}
-        while to_check:
-            c1, c2 = to_check.pop(0)
-            if c1 in used1 or c2 in used2:
-                continue
-            to_check += _get_next(g1, g2, c1, c2, edge_label)
-            current.add((c1, c2))
-            used1.add(c1)
-            used2.add(c2)
-        if len(current) > stop_at:
-            return current
-        if len(current) > len(best):
-            best = current
+    for neg_score, n1, n2 in build_hypotheses(g1, g2, edge_label):
+        if neg_score > min_score and best:
+            break
+        region = _grow_region(g1, g2, n1, n2, edge_label)
+        if len(region) > enough:
+            return region
+        if len(region) > len(best):
+            best = region
     return best
 
 
 def tonioni_mcs(g1: nx.DiGraph, g2: nx.DiGraph, edge_label: str = "dir",
                 min_score: float = -0.2) -> Set[Tuple]:
     """Branch-and-bound maximum-common-subgraph variant
-    (planograms.py:134-169); not on the default path, kept for parity."""
-    def find_solution(hypo, cmax):
-        current: Set[Tuple] = set()
+    (planograms.py:134-169); not on the default path, kept for parity
+    with the reference's unused alternative (production.py:91 TODO)."""
+
+    def descend(hypo: List[Tuple], incumbent: int) -> Set[Tuple]:
+        """Repeatedly commit the strongest hypothesis, rescoring and
+        pruning the rest; stop when scores drop below min_score or the
+        optimistic bound (committed + pairwise-disjoint survivors) can
+        no longer beat the incumbent."""
+        chosen: Set[Tuple] = set()
         while hypo:
-            s, n1, n2 = hypo[0]
-            if s > min_score:
-                return current
-            current.add((n1, n2))
-            nxt = _get_next(g1, g2, n1, n2, edge_label)
-            next_hypo = []
-            found1, found2 = set(), set()
-            non_mutex = 0
-            for s2, x1, x2 in hypo[1:]:
+            neg_s, n1, n2 = hypo[0]
+            if neg_s > min_score:
+                break
+            chosen.add((n1, n2))
+            adjacent = set(_aligned_neighbors(g1, g2, n1, n2, edge_label))
+            seen1: Set = set()
+            seen2: Set = set()
+            bound = 0
+            survivors = []
+            for neg_s2, x1, x2 in hypo[1:]:
                 if x1 == n1 or x2 == n2:
-                    continue
-                if (x1, x2) in nxt:
-                    s2 -= 1
-                if x1 not in found1 and x2 not in found2:
-                    non_mutex += 1
-                found1.add(x1)
-                found2.add(x2)
-                next_hypo.append((s2, x1, x2))
-            if len(current) + non_mutex < cmax:
-                return current
-            hypo = sorted(next_hypo)
-        return current
+                    continue  # mutually exclusive with the commit
+                if (x1, x2) in adjacent:
+                    neg_s2 -= 1  # reward connectivity to the region
+                if x1 not in seen1 and x2 not in seen2:
+                    bound += 1
+                seen1.add(x1)
+                seen2.add(x2)
+                survivors.append((neg_s2, x1, x2))
+            if len(chosen) + bound < incumbent:
+                break
+            hypo = sorted(survivors)
+        return chosen
 
     hypotheses = build_hypotheses(g1, g2, edge_label)
     best: Set[Tuple] = set()
     for i in range(len(hypotheses)):
-        if len(best) > len(hypotheses[i:]):
-            return best
-        sol = find_solution(hypotheses[i:], len(best))
+        if len(best) > len(hypotheses) - i:
+            break
+        sol = descend(hypotheses[i:], len(best))
         if len(sol) > len(best):
             best = sol
     return best
