@@ -36,8 +36,10 @@ def _gp_options(f):
 @click.option("--epochs", default=1, show_default=True)
 @click.option("--batch-size", default=4, show_default=True)
 @click.option("--masks", is_flag=True)
+@click.option("--resume", is_flag=True,
+              help="continue from --out's rotating gan_checkpoint")
 def pretrain_gan_cmd(source, imgs, annotations, out, epochs, batch_size,
-                     masks):
+                     masks, resume):
     """Pretrain the U-Net/PatchGAN domain adapter
     (cvpce/cli/dihe.py:31-75)."""
     from ..data.grocery import GroceryProductsDataset
@@ -48,7 +50,7 @@ def pretrain_gan_cmd(source, imgs, annotations, out, epochs, batch_size,
     discset = TargetDomainDataset(imgs, annotations,
                                   skip=defaults.SKU110K_SKIP)
     pretrain_gan(dataset, discset, out, epochs=epochs,
-                 batch_size=batch_size, masks=masks)
+                 batch_size=batch_size, masks=masks, resume=resume)
 
 
 @dihe.command()

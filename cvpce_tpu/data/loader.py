@@ -34,19 +34,21 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.shard_index = shard_index
         self.num_shards = num_shards
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def _order(self) -> np.ndarray:
+        # a pure function of (seed, epoch): every process/host and every
+        # resumed run sees the same epoch order (DistributedSampler
+        # semantics, proposals_training.py:223-224)
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             order = np.random.default_rng(
-                self.rng.integers(0, 2**31) + self.epoch
-            ).permutation(n)
+                (self.seed, self.epoch)).permutation(n)
         return order[self.shard_index::self.num_shards]
 
     def __len__(self) -> int:

@@ -243,12 +243,13 @@ def make_dihe_train_step(cfg: DIHETrainConfig, optimizers: Tuple):
 class GANPretrainConfig:
     lr: float = 1e-5  # Adam, both nets (classification_training.py:280-281)
     masks: bool = False
+    gen_downs: int = 8  # U-Net depth; 8 for 256px (tests shrink it)
 
 
 def make_gan_pretrain_step(cfg: GANPretrainConfig):
     """GAN pretraining step (cvpce/classification_training.py:257-332):
     D on BCE real/fake, G on BCE-adversarial + negative-ZNCC."""
-    generator = UNetGenerator(train=True)
+    generator = UNetGenerator(train=True, num_downs=cfg.gen_downs)
     discriminator = AveragingPatchGAN(train=True)
     tx = optax.adam(cfg.lr)
 

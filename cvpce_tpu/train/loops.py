@@ -312,14 +312,21 @@ def train_proposal_generator(
 def pretrain_gan(dataset, discriminatorset, output_path: str,
                  epochs: int = 1, batch_size: int = 4,
                  checkpoint_interval: int = 200, masks: bool = False,
-                 seed: int = 0,
+                 seed: int = 0, resume: bool = False, train_cfg=None,
                  loader_cls: type = PrefetchLoader) -> Dict:
-    """GAN pretraining loop (cvpce/classification_training.py:257-332)."""
+    """GAN pretraining loop (cvpce/classification_training.py:257-332).
+
+    `resume`: continue from the rotating gan_checkpoint (generator +
+    discriminator params/opt states and the epoch/iteration counters),
+    matching the reference's three-model checkpoint dance
+    (classification_training.py:227-248). Discriminator samples derive
+    from (seed, epoch, step), so a resumed run draws the same stream an
+    uninterrupted one would."""
     from ..data.transforms import scale_to_tanh
     from .dihe import GANPretrainConfig, make_gan_pretrain_step
 
     os.makedirs(output_path, exist_ok=True)
-    cfg = GANPretrainConfig(masks=masks)
+    cfg = train_cfg or GANPretrainConfig(masks=masks)
     init, step = make_gan_pretrain_step(cfg)
     state = init(jax.random.PRNGKey(seed),
                  gen_channels=4 if masks else 3)
@@ -331,7 +338,7 @@ def pretrain_gan(dataset, discriminatorset, output_path: str,
 
     loader = loader_cls(dataset, batch_size, collate, shuffle=True,
                         seed=seed)
-    rng = np.random.default_rng(seed)
+    steps_per_epoch = max(len(loader), 1)
 
     def save_gan_sample(tag: str, gen_batch) -> None:
         """Source / generated / target triple at checkpoints
@@ -340,7 +347,7 @@ def pretrain_gan(dataset, discriminatorset, output_path: str,
             from ..models.gan import UNetGenerator
             from ..utils.viz import save_multiple
 
-            gen = UNetGenerator(train=False)
+            gen = UNetGenerator(train=False, num_downs=cfg.gen_downs)
             fake = gen.apply(
                 {"params": state["gen_params"],
                  "batch_stats": state["gen_stats"]}, gen_batch[:1])
@@ -350,12 +357,27 @@ def pretrain_gan(dataset, discriminatorset, output_path: str,
         except Exception as e:  # noqa: BLE001
             print(f"gan sample render failed: {e}")
 
+    start_epoch = 0
     iteration = 0
-    for e in range(epochs):
-        loader.set_epoch(e)
-        for (gen_batch,) in loader:
-            disc_idx = rng.integers(0, len(discriminatorset),
-                                    len(gen_batch))
+    skip_batches = 0
+    if resume:
+        meta = manager.load_meta()
+        if meta:
+            state = manager.restore(state)
+            iteration = meta.get("iteration", -1) + 1
+            start_epoch, skip_batches = _resume_position(
+                meta, steps_per_epoch, loader)
+
+    end_epoch = start_epoch + epochs
+    for e in range(start_epoch, end_epoch):
+        epoch_step = skip_batches - 1 if e == start_epoch else -1
+        for (gen_batch,) in _epoch_iter(loader, e, start_epoch,
+                                        skip_batches, steps_per_epoch):
+            bstep = epoch_step + 1
+            # per-step derived stream -> identical draws across resume
+            step_rng = np.random.default_rng((seed, 17, e, bstep))
+            disc_idx = step_rng.integers(0, len(discriminatorset),
+                                         len(gen_batch))
             disc_batch = scale_to_tanh(np.stack(
                 [discriminatorset[int(j)] for j in disc_idx]))
             state, metrics = step(state, gen_batch, disc_batch)
@@ -365,10 +387,13 @@ def pretrain_gan(dataset, discriminatorset, output_path: str,
             if iteration % checkpoint_interval == 0:
                 save_gan_sample(f"{iteration:05d}", gen_batch)
                 manager.save_rotating(state, {"epoch": e,
-                                              "iteration": iteration})
+                                              "iteration": iteration,
+                                              "epoch_step": bstep})
             iteration += 1
-    manager.save_rotating(state, {"epoch": epochs - 1,
-                                  "iteration": iteration})
+            epoch_step = bstep
+        manager.save_rotating(state, {"epoch": e,
+                                      "iteration": iteration - 1,
+                                      "epoch_step": epoch_step})
     return {"state": state}
 
 
@@ -383,8 +408,9 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
 
     `resume`: continue from the rotating embedder_checkpoint (all three
     players' params/opt states), mirroring the GLN loop's resume —
-    including exact mid-epoch resume with GrainLoader (data order only;
-    the discriminator-sample rng restarts from `seed`)."""
+    including exact mid-epoch resume with GrainLoader. Discriminator
+    samples derive from (seed, epoch, step), so resumed and
+    uninterrupted runs draw identical streams."""
     from ..data.transforms import scale_to_tanh
     from ..eval.classification import eval_dihe
     from ..models.embedders import MACVGG
@@ -436,7 +462,6 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
 
     manager = CheckpointManager(output_path, name="embedder_checkpoint")
     keeper = BestKeeper(manager, "accuracy")
-    rng = np.random.default_rng(seed)
 
     # variables enter as traced args so one compilation serves every
     # epoch eval (a closure over `state` would retrace per snapshot)
@@ -475,7 +500,10 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
             negatives = embs[block:2 * block]
             gen_batch = gens[:block]
             sim = hierarchy_similarity(hiers[:block], hiers[block:2 * block])
-            disc_idx = rng.integers(0, len(discriminatorset), block)
+            # per-step derived stream: a resumed run draws the same
+            # discriminator samples an uninterrupted one would
+            step_rng = np.random.default_rng((seed, 29, e, epoch_step + 1))
+            disc_idx = step_rng.integers(0, len(discriminatorset), block)
             disc_batch = scale_to_tanh(np.stack(
                 [discriminatorset[int(j)] for j in disc_idx]))
             state, metrics = step(state, positives, negatives, gen_batch,

@@ -266,3 +266,79 @@ def test_dihe_resume_continues(tmp_path, monkeypatch):
                           batch_size=2, checkpoint_interval=100,
                           train_cfg=cfg, use_mesh=False, resume=True)
     assert int(np.asarray(r2["state"].step)) == 4
+
+
+def _tree_equal(a, b):
+    import jax
+
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    return all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb))
+
+
+@pytest.mark.slow
+def test_gan_pretrain_resume_bit_identical(tmp_path):
+    """pretrain_gan(resume=True) must continue the interrupted run
+    exactly: 1 epoch + resumed 1 epoch == 2 straight epochs, bit for
+    bit (params, BN stats and Adam state of both players). Requires the
+    (seed, epoch, step)-derived discriminator sample stream."""
+    from cvpce_tpu.train.dihe import GANPretrainConfig
+    from cvpce_tpu.train.loops import pretrain_gan
+
+    dataset = _SyntheticGallerySet()
+    discset = _SyntheticCropSet()
+    cfg = GANPretrainConfig(gen_downs=4)
+
+    straight = pretrain_gan(dataset, discset, str(tmp_path / "a"),
+                            epochs=2, batch_size=2, train_cfg=cfg,
+                            checkpoint_interval=100)["state"]
+
+    out_b = str(tmp_path / "b")
+    pretrain_gan(dataset, discset, out_b, epochs=1, batch_size=2,
+                 train_cfg=cfg, checkpoint_interval=100)
+    resumed = pretrain_gan(dataset, discset, out_b, epochs=1,
+                           batch_size=2, train_cfg=cfg,
+                           checkpoint_interval=100,
+                           resume=True)["state"]
+
+    for key in ("gen_params", "gen_stats", "disc_params", "disc_stats",
+                "gen_opt", "disc_opt"):
+        assert _tree_equal(straight[key], resumed[key]), key
+
+
+@pytest.mark.slow
+def test_dihe_resume_bit_identical(tmp_path, monkeypatch):
+    """train_dihe resume: 1+1 epochs == 2 straight epochs bit for bit
+    across all three players (same data order via the seeded loader,
+    same discriminator draws via the derived rng)."""
+    import jax
+
+    from cvpce_tpu.train.dihe import DIHETrainConfig
+    from cvpce_tpu.train import loops
+
+    monkeypatch.setattr(
+        "cvpce_tpu.eval.classification.eval_dihe",
+        lambda *a, **k: {1: 0.5})
+    dataset = _SyntheticGallerySet()
+    discset = _SyntheticCropSet()
+    cfg = DIHETrainConfig(gen_downs=4)
+
+    straight = loops.train_dihe(
+        dataset, discset, dataset, None, str(tmp_path / "a"), epochs=2,
+        batch_size=2, checkpoint_interval=100, train_cfg=cfg,
+        use_mesh=False)["state"]
+
+    out_b = str(tmp_path / "b")
+    loops.train_dihe(dataset, discset, dataset, None, out_b, epochs=1,
+                     batch_size=2, checkpoint_interval=100,
+                     train_cfg=cfg, use_mesh=False)
+    resumed = loops.train_dihe(dataset, discset, dataset, None, out_b,
+                               epochs=1, batch_size=2,
+                               checkpoint_interval=100, train_cfg=cfg,
+                               use_mesh=False, resume=True)["state"]
+
+    assert _tree_equal(
+        jax.tree_util.tree_leaves(straight),
+        jax.tree_util.tree_leaves(resumed))
