@@ -178,6 +178,192 @@ def product_gallery_image(style, height: int = 192) -> np.ndarray:
     return np.clip(img, 0.0, 1.0)
 
 
+class PlanogramSceneDetectionSet:
+    """planogram_scene renders as SKU110K-shaped detection items.
+
+    The round-2 e2e report showed the shelf_scene-trained detector
+    transfers poorly to planogram scenes (recall 0.70 / precision 0.46,
+    reports/e2e_trained_*_r2.log): planogram products keep per-archetype
+    fixed sizes, violations leave background gaps, and spacing differs.
+    Mixing this distribution into detector training closes that gap —
+    the synthetic analogue of training on the deployment's scene
+    distribution. Violated slots are rendered exactly as the e2e
+    validation renders them (removed -> background, swapped -> another
+    archetype), and `boxes` is the RENDERED ground truth."""
+
+    def __init__(self, n: int, canvas_h: int = 832, canvas_w: int = 1344,
+                 seed: int = 0, n_styles: int = 12,
+                 violation_rate: float = 0.3,
+                 min_shelves: int = 3, max_shelves: int = 5):
+        self.n = n
+        self.canvas_h = canvas_h
+        self.canvas_w = canvas_w
+        self.seed = seed
+        self.styles = product_styles(n_styles)
+        self.violation_rate = violation_rate
+        self.min_shelves = min_shelves
+        self.max_shelves = max_shelves
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int) -> Dict:
+        if not 0 <= i < self.n:
+            raise IndexError(i)
+        rng = np.random.default_rng((self.seed, 77, i))
+        vr = 0.0 if i % 2 == 0 else self.violation_rate
+        img, _, actual, _ = planogram_scene(
+            self.canvas_h, self.canvas_w, self.styles, rng,
+            violation_rate=vr, min_shelves=self.min_shelves,
+            max_shelves=self.max_shelves)
+        boxes = actual["boxes"]
+        if not len(boxes):
+            boxes = np.asarray([[0, 0, 8, 8]], np.float32)
+        return {
+            "image": img,
+            "boxes": boxes,
+            "image_size": np.array([self.canvas_h, self.canvas_w],
+                                   np.int32),
+            "scale": np.float32(1.0),
+            "name": f"plano_synthetic_{i}",
+            "orig_boxes": boxes.copy(),
+            "orig_size": np.array([self.canvas_h, self.canvas_w],
+                                  np.int32),
+        }
+
+
+class InterleavedDataset:
+    """Round-robin mixture of datasets with identical item contracts —
+    index i comes from datasets[i % k]. Used to train the detector on
+    shelf AND planogram scene distributions in one run."""
+
+    def __init__(self, *datasets):
+        assert datasets
+        self.datasets = datasets
+
+    def __len__(self) -> int:
+        return min(len(d) for d in self.datasets) * len(self.datasets)
+
+    def __getitem__(self, i: int):
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        k = len(self.datasets)
+        return self.datasets[i % k][i // k]
+
+
+# ---------------------------------------------------------------------------
+# DIHE training data in the archetype domain (round-3 fix for the
+# trained-embedder-worse-than-random inversion: the r2 DIHE checkpoint
+# was trained on a DIFFERENT synthetic taxonomy than the e2e gallery;
+# these sets train on the same product_styles archetypes the e2e
+# validation classifies, mirroring the reference recipe of training on
+# the deployment gallery with scene crops as the target domain,
+# cvpce/cli/dihe.py:135-147).
+# ---------------------------------------------------------------------------
+
+
+def _jitter_view(img: np.ndarray, rng: np.random.Generator,
+                 strength: float = 0.1) -> np.ndarray:
+    """Photometric view jitter: global gain + noise (the archetype
+    painter already jitters per-instance lighting in scenes)."""
+    out = img * rng.uniform(1 - strength, 1 + strength)
+    out = out + rng.normal(0, 0.02, img.shape).astype(np.float32)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+class ArchetypeGallerySet:
+    """(emb_img, gen_img, hierarchy, annotation) tuples in tanh scale
+    over the product_styles archetypes — GroceryProductsDataset item
+    semantics (cvpce/datautils.py:293-451) for train_dihe. Hierarchy
+    groups archetypes into hue families so the adaptive triplet margin
+    sees both near and far negatives."""
+
+    def __init__(self, styles, views: int = 8, seed: int = 0,
+                 families: int = 4, size: int = 256):
+        from . import transforms as T
+
+        self.styles = styles
+        self.views = views
+        self.seed = seed
+        self.size = size
+        k = len(styles)
+        self.hierarchies = [
+            [f"Family{i * families // max(1, k)}", s["label"]]
+            for i, s in enumerate(styles)]
+        self._canon = [
+            T.resize_for_classification(product_gallery_image(s),
+                                        size=size)
+            for s in styles]
+
+    def __len__(self) -> int:
+        return len(self.styles) * self.views
+
+    def __getitem__(self, i: int):
+        from . import transforms as T
+
+        pid, view = divmod(i, self.views)
+        rng = np.random.default_rng((self.seed, pid, view))
+        base = self._canon[pid]
+        emb = base if view == 0 else _jitter_view(base, rng)
+        gen = _jitter_view(base, rng)
+        return (T.scale_to_tanh(emb), T.scale_to_tanh(gen),
+                self.hierarchies[pid], self.styles[pid]["label"])
+
+
+class SceneCropSet:
+    """[0,1] 256x256 crops of rendered planogram scenes at their gt
+    boxes — the synthetic target domain for the GAN discriminator
+    (TargetDomainDataset semantics, cvpce/datautils.py:241-267)."""
+
+    def __init__(self, styles, n: int = 256, canvas_h: int = 832,
+                 canvas_w: int = 1344, seed: int = 3):
+        from . import transforms as T
+
+        self.crops = []
+        rng = np.random.default_rng((seed, 0))
+        scene_idx = 0
+        while len(self.crops) < n:
+            srng = np.random.default_rng((seed, 1, scene_idx))
+            img, _, actual, _ = planogram_scene(
+                canvas_h, canvas_w, styles, srng)
+            for x1, y1, x2, y2 in actual["boxes"].astype(int):
+                crop = img[max(0, y1):y2, max(0, x1):x2]
+                if crop.size == 0:
+                    continue
+                self.crops.append(T.resize_for_classification(crop))
+                if len(self.crops) >= n:
+                    break
+            scene_idx += 1
+
+    def __len__(self) -> int:
+        return len(self.crops)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.crops[i]
+
+
+class PlanogramQuerySet:
+    """(scene_img, gt_labels, gt_boxes) eval items over held-out
+    planogram scenes — eval_dihe protocol (gt-crop classification)."""
+
+    def __init__(self, styles, n: int = 8, canvas_h: int = 832,
+                 canvas_w: int = 1344, seed: int = 10_000):
+        self.styles = styles
+        self.n = n
+        self.canvas_h = canvas_h
+        self.canvas_w = canvas_w
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int):
+        rng = np.random.default_rng((self.seed, 5, i))
+        img, _, actual, _ = planogram_scene(
+            self.canvas_h, self.canvas_w, self.styles, rng)
+        return img, actual["labels"], actual["boxes"]
+
+
 def planogram_scene(h: int, w: int, styles, rng: np.random.Generator,
                     violation_rate: float = 0.0,
                     min_shelves: int = 3, max_shelves: int = 5,
