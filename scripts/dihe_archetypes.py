@@ -1,0 +1,258 @@
+"""DIHE training in the archetype domain the e2e validation classifies.
+
+Round-2 diagnosis (VERDICT r2, weak #2): the trained DIHE embedder
+scored gt-crop top-1 0.58 where random init scored 0.97 — because the
+r2 checkpoint was trained on a DIFFERENT synthetic taxonomy
+(scripts/dihe_convergence.py stripe textures) than the archetype gallery
+the e2e pipeline classifies. The reference never does that: it trains on
+the deployment gallery (GP products) with scene crops as the target
+domain (cvpce/cli/dihe.py:135-147). This script reproduces that recipe
+on the archetype domain (data/synthetic.py:ArchetypeGallerySet /
+SceneCropSet) and runs the ablation VERDICT asks for:
+
+  baseline  — random-init MACVGG (warmed BN), the 0.97 bar to beat
+  triplet   — pure supervised hierarchical-triplet training (no GAN)
+  3player   — the full GAN-anchored DIHE loop (train/loops.py:train_dihe)
+
+All modes evaluate the SAME task: gallery-index classification of
+gt-box crops from held-out planogram scenes (eval_dihe protocol,
+cvpce/classification_eval.py:6-56), i.e. exactly the e2e pipeline's
+classify stage. Checkpoints land in --out (train_dihe's rotating
+embedder_checkpoint), directly loadable by scripts/e2e_trained_pipeline
+--dihe.
+
+Run (TPU): python scripts/dihe_archetypes.py --mode both --epochs 12
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def report(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def make_eval(styles, canvas, n_scenes, batch_size):
+    """Returns eval_fn(enc_fn) -> gt-crop top-1 over held-out scenes."""
+    from cvpce_tpu.data.synthetic import (ArchetypeGallerySet,
+                                          PlanogramQuerySet)
+    from cvpce_tpu.eval.classification import eval_dihe
+
+    gallery_eval = ArchetypeGallerySet(styles, views=1, seed=9)
+    queries = PlanogramQuerySet(styles, n=n_scenes, canvas_h=canvas[0],
+                                canvas_w=canvas[1])
+
+    def eval_fn(enc_fn):
+        acc = eval_dihe(enc_fn, 1024, gallery_eval, queries,
+                        batch_size=batch_size, k=(1,), verbose=False)
+        return float(acc[1])
+
+    return eval_fn
+
+
+def warmed_encoder(params, stats, gallery, batch_size):
+    """Eval-mode encoder with BN stats settled on clean gallery views
+    (same recipe as the e2e loader, scripts/e2e_trained_pipeline.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvpce_tpu.models.embedders import MACVGG
+
+    model_t = MACVGG(batch_norm=True, train=True)
+    model_e = MACVGG(batch_norm=True, train=False)
+
+    @jax.jit
+    def warm(stats, batch):
+        _, mut = model_t.apply({"params": params, "batch_stats": stats},
+                               batch, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        idx = rng.integers(0, len(gallery), batch_size)
+        batch = np.stack([gallery[int(i)][0] for i in idx])
+        stats = warm(stats, jnp.asarray(batch))
+
+    encode = jax.jit(model_e.apply)
+
+    def enc_fn(imgs):
+        return encode({"params": params, "batch_stats": stats}, imgs)
+
+    return enc_fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["baseline", "triplet", "3player",
+                                       "both"], default="both")
+    ap.add_argument("--products", type=int, default=12)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--canvas", nargs=2, type=int, default=(832, 1344))
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--gan-steps", type=int, default=200)
+    ap.add_argument("--enc-lr", type=float, default=2e-6)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--eval-scenes", type=int, default=6)
+    ap.add_argument("--disc-crops", type=int, default=192)
+    ap.add_argument("--out", default="/tmp/dihe_archetypes")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cvpce_tpu.data.synthetic import (ArchetypeGallerySet,
+                                          SceneCropSet, product_styles)
+    from cvpce_tpu.models.embedders import MACVGG
+    from cvpce_tpu.train.dihe import DIHETrainConfig
+    from cvpce_tpu.train.loops import pretrain_gan, train_dihe
+
+    platform = jax.devices()[0].platform
+    report(platform=platform, mode=args.mode, products=args.products)
+
+    styles = product_styles(args.products)
+    gallery = ArchetypeGallerySet(styles, views=args.views)
+    discset = SceneCropSet(styles, n=args.disc_crops,
+                           canvas_h=args.canvas[0],
+                           canvas_w=args.canvas[1])
+    eval_fn = make_eval(styles, args.canvas, args.eval_scenes,
+                        args.batch_size)
+    chance = 1.0 / args.products
+
+    # --- baseline: random init (the bar every trained mode must beat) ---
+    model = MACVGG(batch_norm=True, train=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 256, 3)))
+    base_top1 = eval_fn(warmed_encoder(variables["params"],
+                                       variables["batch_stats"],
+                                       gallery, args.batch_size))
+    report(stage="baseline", gt_crop_top1=round(base_top1, 4),
+           chance=round(chance, 4))
+    if args.mode == "baseline":
+        return
+
+    results = {"baseline": base_top1}
+
+    if args.mode in ("triplet", "both"):
+        # pure-triplet ablation: clean-anchor supervised training through
+        # the real 3-player step with the GAN players frozen is NOT what
+        # we want to isolate; instead reuse the dihe loop but swap the
+        # generator for identity by training with gan_state=None and
+        # enc-only updates? The honest isolation is a dedicated loop:
+        import optax
+
+        from cvpce_tpu.ops.losses import hierarchical_triplet_loss
+        from cvpce_tpu.train.dihe import hierarchy_similarity
+
+        model_t = MACVGG(batch_norm=True, train=True)
+        tri_vars = model_t.init(jax.random.PRNGKey(1),
+                                jnp.zeros((2, 256, 256, 3)))
+        params, stats = tri_vars["params"], tri_vars["batch_stats"]
+        tx = optax.adam(args.enc_lr)
+        opt = tx.init(params)
+        b = args.batch_size
+
+        @jax.jit
+        def step(params, stats, opt, anchors, pos, neg, sim):
+            def loss_fn(p):
+                x = jnp.concatenate([anchors, pos, neg])
+                emb, mut = model_t.apply(
+                    {"params": p, "batch_stats": stats}, x,
+                    mutable=["batch_stats"])
+                return (hierarchical_triplet_loss(
+                    emb[:b], emb[b:2 * b], emb[2 * b:], sim),
+                    mut["batch_stats"])
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            upd, new_opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, upd), new_stats,
+                    new_opt, loss)
+
+        rng = np.random.default_rng(0)
+        steps = args.epochs * max(1, len(gallery) // (2 * b))
+        t0 = time.time()
+        for it in range(steps):
+            # anchor = scene-domain crop of product p (discset items are
+            # unlabeled, so re-render crops with known identity)
+            a_imgs, p_imgs, n_imgs, ph, nh = [], [], [], [], []
+            for _ in range(b):
+                pid = int(rng.integers(args.products))
+                while True:
+                    nid = int(rng.integers(args.products))
+                    if nid != pid:
+                        break
+                a_imgs.append(gallery[pid * args.views + int(
+                    rng.integers(1, args.views))][0])
+                p_imgs.append(gallery[pid * args.views][0])
+                n_imgs.append(gallery[nid * args.views][0])
+                ph.append(gallery.hierarchies[pid])
+                nh.append(gallery.hierarchies[nid])
+            sim = jnp.asarray(hierarchy_similarity(ph, nh))
+            params, stats, opt, loss = step(
+                params, stats, opt, jnp.asarray(np.stack(a_imgs)),
+                jnp.asarray(np.stack(p_imgs)),
+                jnp.asarray(np.stack(n_imgs)), sim)
+            if it % 20 == 0:
+                report(stage="triplet", step=it, loss=round(float(loss), 4))
+        tri_top1 = eval_fn(warmed_encoder(params, stats, gallery,
+                                          args.batch_size))
+        results["triplet"] = tri_top1
+        report(stage="triplet", gt_crop_top1=round(tri_top1, 4),
+               improved_vs_baseline=bool(tri_top1 >= base_top1),
+               wall=round(time.time() - t0, 1))
+
+    if args.mode in ("3player", "both"):
+        t0 = time.time()
+        gan_epochs = max(1, args.gan_steps
+                         // max(1, len(gallery) // args.batch_size))
+        gan_result = pretrain_gan(gallery, discset, args.out,
+                                  epochs=gan_epochs,
+                                  batch_size=args.batch_size)
+        gs = gan_result["state"]
+        gan_state = {k: gs[k] for k in ("gen_params", "gen_stats",
+                                        "disc_params", "disc_stats")}
+        report(stage="gan", wall=round(time.time() - t0, 1))
+
+        t0 = time.time()
+        cfg = DIHETrainConfig(enc_lr=args.enc_lr)
+        from cvpce_tpu.data.synthetic import PlanogramQuerySet
+
+        gallery_eval = ArchetypeGallerySet(styles, views=1, seed=9)
+        queries = PlanogramQuerySet(styles, n=args.eval_scenes,
+                                    canvas_h=args.canvas[0],
+                                    canvas_w=args.canvas[1])
+        result = train_dihe(gallery, discset, gallery_eval, queries,
+                            args.out, gan_state=gan_state,
+                            epochs=args.epochs,
+                            batch_size=args.batch_size,
+                            checkpoint_interval=500, eval_interval=2,
+                            train_cfg=cfg, use_mesh=False)
+        state = result["state"]
+        p3_top1 = eval_fn(warmed_encoder(state.emb_params,
+                                         state.emb_stats, gallery,
+                                         args.batch_size))
+        results["3player"] = p3_top1
+        report(stage="3player", gt_crop_top1=round(p3_top1, 4),
+               improved_vs_baseline=bool(p3_top1 >= base_top1),
+               wall=round(time.time() - t0, 1))
+
+    report(name="SUMMARY", chance=round(chance, 4),
+           **{k: round(v, 4) for k, v in results.items()},
+           trained_beats_random=bool(
+               max([v for k, v in results.items() if k != "baseline"],
+                   default=0.0) >= base_top1))
+
+
+if __name__ == "__main__":
+    main()
+    report(name="DONE")

@@ -35,16 +35,40 @@ def main():
     ap.add_argument("--lr", type=float, default=0.0025)
     ap.add_argument("--out", default="/tmp/convergence_run")
     ap.add_argument("--target-ap", type=float, default=0.8)
+    ap.add_argument("--scene-mix", choices=["shelf", "plano", "mixed"],
+                    default="shelf",
+                    help="training distribution: shelf_scene only "
+                         "(r1/r2 behavior), planogram scenes only, or "
+                         "a round-robin mix — the production detector "
+                         "must see the planogram distribution "
+                         "(r2 e2e: precision 0.46 without it)")
+    ap.add_argument("--det-per-img", type=int, default=256,
+                    help="detections_per_img (production parity: 1000, "
+                         "cvpce/models/proposals.py:164-165)")
+    ap.add_argument("--nms-candidates", type=int, default=1024)
+    ap.add_argument("--calibrate", action="store_true",
+                    help="after training, pick the max-F1 serving "
+                         "threshold on held-out planogram scenes and "
+                         "save serving_calibration.json into --out")
     ap.add_argument("--resume", action="store_true",
                     help="continue from --out's rotating checkpoint "
                          "(epoch counter resumes; raise --epochs past "
                          "the prior run's count)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU platform (logic smoke; the axon "
+                         "plugin otherwise forces the tunneled TPU)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     import numpy as np
 
-    from cvpce_tpu.data.synthetic import SyntheticShelfDataset
+    from cvpce_tpu.data.synthetic import (InterleavedDataset,
+                                          PlanogramSceneDetectionSet,
+                                          SyntheticShelfDataset)
     from cvpce_tpu.eval.proposals import evaluate_gln
     from cvpce_tpu.models.gln import GLNConfig
     from cvpce_tpu.train.gln import GLNTrainConfig
@@ -52,22 +76,40 @@ def main():
 
     h, w = args.canvas
     platform = jax.devices()[0].platform
-    print(json.dumps({"platform": platform, "canvas": [h, w]}), flush=True)
+    print(json.dumps({"platform": platform, "canvas": [h, w],
+                      "scene_mix": args.scene_mix,
+                      "det_per_img": args.det_per_img}), flush=True)
 
     model_cfg = GLNConfig(
-        canvas_h=h, canvas_w=w, max_nms_candidates=1024,
-        detections_per_img=256,
+        canvas_h=h, canvas_w=w, max_nms_candidates=args.nms_candidates,
+        detections_per_img=args.det_per_img,
         use_pallas_nms=platform not in ("cpu",))
     train_cfg = GLNTrainConfig(lr=args.lr, match_chunk=8192,
                                min_negatives=256)
     # scenes scale: fewer shelves at small canvas so boxes stay >12px
     shelves = (3, 5) if h <= 320 else (4, 8)
-    trainset = SyntheticShelfDataset(args.train_n, h, w, seed=0,
+
+    def shelf_set(n, seed):
+        return SyntheticShelfDataset(n, h, w, seed=seed,
                                      min_shelves=shelves[0],
                                      max_shelves=shelves[1])
-    evalset = SyntheticShelfDataset(args.eval_n, h, w, seed=10_000,
-                                    min_shelves=shelves[0],
-                                    max_shelves=shelves[1])
+
+    def plano_set(n, seed):
+        return PlanogramSceneDetectionSet(
+            n, h, w, seed=seed, min_shelves=shelves[0],
+            max_shelves=min(shelves[1], 5))
+
+    if args.scene_mix == "shelf":
+        trainset = shelf_set(args.train_n, 0)
+        evalset = shelf_set(args.eval_n, 10_000)
+    elif args.scene_mix == "plano":
+        trainset = plano_set(args.train_n, 0)
+        evalset = plano_set(args.eval_n, 10_000)
+    else:
+        trainset = InterleavedDataset(shelf_set(args.train_n // 2, 0),
+                                      plano_set(args.train_n // 2, 0))
+        evalset = InterleavedDataset(shelf_set(args.eval_n // 2, 10_000),
+                                     plano_set(args.eval_n // 2, 10_000))
 
     ap_history = []
 
@@ -133,6 +175,18 @@ def main():
             np.asarray(losses[last_e]["class_loss"])
             + np.asarray(losses[last_e]["reg_loss"])
             + np.asarray(losses[last_e]["gauss_loss"])))
+    if args.calibrate:
+        from cvpce_tpu.pipeline.calibrate import (calibrate_confidence,
+                                                  save_calibration)
+
+        calset = plano_set(args.eval_n, 20_000)
+        cal = calibrate_confidence(
+            {"params": state.params, "frozen": state.frozen,
+             "batch_stats": state.batch_stats},
+            model_cfg, calset, batch_size=args.batch_size)
+        save_calibration(args.out, cal)
+        print(json.dumps({"calibration": cal}), flush=True)
+
     summary = {
         "final_ap": round(float(stats["ap"]), 4),
         "final_ar300": round(float(stats["ar_300"]), 4),
