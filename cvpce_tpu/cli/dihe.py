@@ -83,9 +83,16 @@ def pretrain_gan_cmd(source, imgs, annotations, out, epochs, batch_size,
               help="continue from the rotating embedder_checkpoint in "
                    "--out (the reference's --load-enc, "
                    "cvpce/cli/dihe.py:132)")
+@click.option("--imagenet", "imagenet_path", default=None,
+              type=click.Path(exists=True),
+              help="initialize the embedder from a torchvision "
+                   "vgg16(_bn) ImageNet state_dict (layout only, no "
+                   "torchvision needed) — the reference's pretrained "
+                   "start, cvpce/models/classification.py:97-109")
 def train(source, source_type, only, eval_data, imgs, annotations,
           test_imgs, test_annotations, out, gan_path, epochs, batch_size,
-          masks, no_batchnorm, hyperopt_params, grain, resume):
+          masks, no_batchnorm, hyperopt_params, grain, resume,
+          imagenet_path):
     """Train DIHE (cvpce/cli/dihe.py:77-167)."""
     from ..data.grocery import (GroceryProductsDataset,
                                 GroceryProductsTestSet, InternalTrainSet)
@@ -131,6 +138,13 @@ def train(source, source_type, only, eval_data, imgs, annotations,
         from ..data.grain_loader import GrainLoader
 
         kwargs["loader_cls"] = GrainLoader
+    if imagenet_path:
+        from ..utils.torch_import import (import_vgg16_features,
+                                          load_state_dict)
+
+        kwargs["init_embedder"] = import_vgg16_features(
+            load_state_dict(imagenet_path),
+            batch_norm=not no_batchnorm)
     train_dihe(dataset, discset, evaldata, evalset, out,
                gan_state=gan_state, epochs=epochs, batch_size=batch_size,
                train_cfg=cfg, resume=resume, **kwargs)

@@ -403,6 +403,7 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
                checkpoint_interval: int = 200, eval_interval: int = 1,
                train_cfg=None, seed: int = 0, use_mesh: bool = True,
                hyperopt_report=None, resume: bool = False,
+               init_embedder: Optional[Dict] = None,
                loader_cls: type = PrefetchLoader) -> Dict:
     """DIHE training loop (cvpce/classification_training.py:334-541).
 
@@ -442,6 +443,29 @@ def train_dihe(dataset, discriminatorset, evaldata, evalset,
     state, opts = init_dihe_state(
         cfg, jax.random.PRNGKey(seed),
         gen_channels=4 if cfg.masks else 3)
+    if init_embedder is not None:
+        # pretrained starting point (the reference never trains DIHE
+        # from scratch: macvgg_embedder(pretrained=...) pulls ImageNet
+        # weights, cvpce/models/classification.py:97-109). Partial
+        # overlay: imported conv/bn leaves replace their random-init
+        # counterparts; the fresh Adam state (zeros) stays valid.
+        def overlay(base, update):
+            out = dict(base)
+            for k, v in update.items():
+                if isinstance(v, dict) and isinstance(out.get(k), dict):
+                    out[k] = overlay(out[k], v)
+                else:
+                    assert k in out and np.shape(out[k]) == np.shape(v), (
+                        f"init_embedder leaf {k}: shape "
+                        f"{np.shape(v)} vs {np.shape(out.get(k))}")
+                    out[k] = jnp.asarray(v)
+            return out
+
+        state = state.replace(
+            emb_params=overlay(state.emb_params,
+                               init_embedder.get("params", {})),
+            emb_stats=overlay(state.emb_stats,
+                              init_embedder.get("batch_stats", {})))
     if gan_state is not None:  # pretrained GAN required for real runs
         state = state.replace(
             gen_params=gan_state["gen_params"],

@@ -1,0 +1,196 @@
+"""The one-command real-weights parity runbook, verified end to end
+(VERDICT r2 #3): write a REAL torch checkpoint FILE in the reference's
+released layout, then run the ACTUAL CLI commands a user with the
+released weights + datasets would run (MIGRATION.md "Parity runbook"),
+asserting the full file -> import -> model -> metrics path works.
+
+The oracle state_dicts are random-valued but layout-exact
+(tests/test_checkpoint_import.py / test_model_parity.py generators match
+cvpce/models/proposals.py:162-203 and torchvision vgg16_bn); on a
+machine with the real artifacts the same commands produce the parity
+table.
+"""
+import json
+
+import numpy as np
+import pytest
+import torch
+from click.testing import CliRunner
+from PIL import Image
+
+from cvpce_tpu.cli import cli
+
+
+@pytest.fixture
+def sku_fixture(tmp_path):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    for name, (w, h), n_boxes in [("a.jpg", (100, 80), 3),
+                                  ("b.jpg", (60, 120), 2)]:
+        arr = (rng.uniform(0, 255, (h, w, 3))).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / name)
+        for _ in range(n_boxes):
+            x1 = int(rng.integers(0, w - 20))
+            y1 = int(rng.integers(0, h - 20))
+            rows.append(
+                f"{name},{x1},{y1},{x1 + 15},{y1 + 15},object,{w},{h}")
+    ann = tmp_path / "ann.csv"
+    ann.write_text("\n".join(rows) + "\n")
+    return str(img_dir), str(ann)
+
+
+@pytest.fixture
+def gp_fixture(tmp_path):
+    """GP train gallery tree + GP-180-style test annotations."""
+    train_root = tmp_path / "gp_train"
+    rng = np.random.default_rng(1)
+    for hier in ("Food/Bakery/p1", "Food/Dairy/p2"):
+        p = train_root / f"{hier}.jpg"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rng.uniform(0, 255, (48, 40, 3)).astype(
+            np.uint8)).save(p)
+    ann_dir = tmp_path / "gp_ann"
+    ann_dir.mkdir()
+    (ann_dir / "s1_2.csv").write_text(
+        "Food/Bakery/p1.jpg, 10, 20, 50, 80\n"
+        "Food/Dairy/p2.jpg, 60, 20, 90, 80\n")
+    img_dir = tmp_path / "gp_imgs"
+    (img_dir / "store1" / "images").mkdir(parents=True)
+    Image.fromarray(rng.uniform(0, 255, (100, 120, 3)).astype(
+        np.uint8)).save(img_dir / "store1" / "images" / "store1_2.jpg")
+    return str(train_root), str(img_dir), str(ann_dir)
+
+
+@pytest.mark.slow
+def test_gln_eval_from_reference_tar(tmp_path, sku_fixture):
+    """`cvpce-tpu gln eval --weights <reference .tar>` — the exact
+    parity command for the released GLN checkpoint
+    (cvpce/cli/gln.py:230-280)."""
+    from tests.test_checkpoint_import import make_gln_state_dict
+
+    rng = np.random.default_rng(0)
+    ckpt = tmp_path / "gln_checkpoint.tar"
+    # the reference saves {'model_state_dict': ..., ...}
+    # (proposals_training.py:17-22)
+    torch.save({"model_state_dict": make_gln_state_dict(rng),
+                "epoch": 0, "iteration": 0}, str(ckpt))
+
+    img_dir, ann = sku_fixture
+    metrics_out = tmp_path / "metrics.json"
+    r = CliRunner().invoke(cli, [
+        "gln", "eval", "--weights", str(ckpt),
+        "--dataset-type", "sku110k", "--imgs", img_dir,
+        "--annotations", ann, "--canvas", "64", "64",
+        "--max-detections", "64", "--nms-candidates", "128",
+        "--batch-size", "1", "--out", str(metrics_out)])
+    assert r.exit_code == 0, r.output
+    with open(metrics_out) as f:
+        metrics = json.load(f)
+    stats = metrics["0.5"]
+    assert 0.0 <= stats["ap"] <= 1.0
+    assert 0.0 <= stats["ar_300"] <= 1.0
+
+
+@pytest.mark.slow
+def test_dihe_eval_from_imagenet_tar(tmp_path, gp_fixture):
+    """`cvpce-tpu dihe eval --weights <torchvision vgg16_bn .pth>` —
+    the reference evaluates DIHE off ImageNet weights alone
+    (cvpce/cli/dihe.py:301-309)."""
+    from tests.test_model_parity import make_vgg16bn_state_dict
+
+    rng = np.random.default_rng(0)
+    ckpt = tmp_path / "vgg16_bn_imagenet.pth"
+    torch.save(make_vgg16bn_state_dict(rng), str(ckpt))
+
+    train_root, img_dir, ann_dir = gp_fixture
+    r = CliRunner().invoke(cli, [
+        "dihe", "eval", "--weights", str(ckpt),
+        "--source", train_root, "--test-imgs", img_dir,
+        "--test-annotations", ann_dir, "--k", "1",
+        "--batch-size", "2"])
+    assert r.exit_code == 0, r.output
+    acc = json.loads(r.output.strip().splitlines()[-1])
+    assert 0.0 <= acc["1"] <= 1.0
+
+
+@pytest.mark.slow
+def test_dihe_train_imagenet_init(tmp_path):
+    """--imagenet on dihe train: a torchvision vgg16_bn state_dict file
+    initializes the DIHE embedder (VERDICT r2 #4; reference behavior at
+    cvpce/models/classification.py:97-109)."""
+    import jax
+
+    from cvpce_tpu.train import loops
+    from cvpce_tpu.train.dihe import DIHETrainConfig
+    from cvpce_tpu.utils.torch_import import (conv_kernel,
+                                              import_vgg16_features,
+                                              load_state_dict)
+    from tests.test_model_parity import make_vgg16bn_state_dict
+
+    rng = np.random.default_rng(0)
+    ckpt = tmp_path / "vgg16_bn.pth"
+    sd = make_vgg16bn_state_dict(rng)
+    torch.save(sd, str(ckpt))
+
+    imported = import_vgg16_features(load_state_dict(str(ckpt)),
+                                     batch_norm=True)
+
+    class _Empty:
+        def __len__(self):
+            return 0
+
+        def __getitem__(self, i):
+            raise IndexError(i)
+
+    result = loops.train_dihe(
+        _Empty(), _Empty(), _Empty(), None, str(tmp_path / "run"),
+        epochs=0, batch_size=2, train_cfg=DIHETrainConfig(gen_downs=4),
+        use_mesh=False, init_embedder=imported)
+    state = result["state"]
+    np.testing.assert_allclose(
+        np.asarray(state.emb_params["f0"]["kernel"]),
+        conv_kernel(sd["features.0.weight"]), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(state.emb_stats["f1"]["mean"]),
+        np.asarray(sd["features.1.running_mean"]), atol=0)
+
+
+def test_dihe_train_cli_imagenet_wiring(monkeypatch, tmp_path):
+    """--imagenet reaches train_dihe as an init_embedder overlay."""
+    from tests.test_model_parity import make_vgg16bn_state_dict
+
+    calls = {}
+
+    def fake_train_dihe(dataset, discset, evaldata, evalset, out, **kw):
+        calls.update(kw)
+        return {"state": None, "best": {}}
+
+    class _FakeSet:
+        def __init__(self, *a, **k):
+            pass
+
+        def __len__(self):
+            return 0
+
+    monkeypatch.setattr("cvpce_tpu.train.loops.train_dihe",
+                        fake_train_dihe)
+    monkeypatch.setattr(
+        "cvpce_tpu.data.grocery.GroceryProductsDataset", _FakeSet)
+    monkeypatch.setattr(
+        "cvpce_tpu.data.grocery.GroceryProductsTestSet", _FakeSet)
+    monkeypatch.setattr(
+        "cvpce_tpu.data.sku110k.TargetDomainDataset", _FakeSet)
+
+    ckpt = tmp_path / "vgg.pth"
+    torch.save(make_vgg16bn_state_dict(np.random.default_rng(0)),
+               str(ckpt))
+    r = CliRunner().invoke(cli, [
+        "dihe", "train", "--source", str(tmp_path),
+        "--imgs", str(tmp_path), "--annotations", str(tmp_path),
+        "--out", str(tmp_path / "run"), "--epochs", "1",
+        "--imagenet", str(ckpt)], catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    init = calls["init_embedder"]
+    assert "params" in init and "f0" in init["params"]
