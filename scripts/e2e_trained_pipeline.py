@@ -6,13 +6,14 @@ planogram graph match -> RANSAC -> compliance — on synthetic planogram
 scenes with KNOWN expected compliance, using the checkpoints trained
 this round on real TPU hardware:
 
-- GLN: /tmp/convergence_run (3000-step synthetic-shelves run,
-  AP 0.889 / AR300 0.941 at its 256x320 canvas,
-  reports/convergence_gln_r2_resumed.log)
-- embedder: /tmp/dihe_convergence (3-player DIHE smoke run) via
-  --dihe; --embedder random serves a random-init MACVGG for
-  comparison (from-scratch DIHE is weakly trained — the reference
-  fine-tunes ImageNet weights instead, cvpce/cli/dihe.py:257-309).
+- GLN: checkpoints/gln_r3 (full-canvas mixed shelf+planogram training,
+  scripts/train_convergence.py --scene-mix mixed), served at the
+  max-F1 calibrated threshold (--confidence auto reads
+  serving_calibration.json; pipeline/calibrate.py).
+- embedder: checkpoints/dihe_r3 (archetype-domain DIHE,
+  scripts/dihe_archetypes.py) via --dihe; --embedder random serves a
+  random-init MACVGG for comparison (the reference fine-tunes ImageNet
+  weights instead, cvpce/cli/dihe.py:257-309).
 
 Scenes place identity-carrying product archetypes
 (data/synthetic.py:product_styles/planogram_scene) per a planogram;
@@ -135,14 +136,23 @@ def load_random_embedder():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--gln", default="/tmp/convergence_run")
-    ap.add_argument("--dihe", default="/tmp/dihe_convergence")
+    ap.add_argument("--gln", default="/root/repo/checkpoints/gln_r3")
+    ap.add_argument("--dihe", default="/root/repo/checkpoints/dihe_r3")
     ap.add_argument("--embedder", choices=["dihe", "random"],
                     default="dihe")
     ap.add_argument("--scenes", type=int, default=12)
     ap.add_argument("--products", type=int, default=12)
     ap.add_argument("--violation-rate", type=float, default=0.3)
-    ap.add_argument("--confidence", type=float, default=0.5)
+    ap.add_argument("--confidence", default="auto",
+                    help="detection serving threshold; 'auto' reads "
+                         "serving_calibration.json from --gln "
+                         "(pipeline/calibrate.py), a number pins it "
+                         "(the reference's fixed 0.5, production.py:14)")
+    ap.add_argument("--canvas", nargs=2, type=int, default=(832, 1344),
+                    help="detector canvas — must match the checkpoint's "
+                         "training canvas")
+    ap.add_argument("--det-per-img", type=int, default=1000)
+    ap.add_argument("--nms-candidates", type=int, default=5120)
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU platform (fast smoke of the "
                          "script logic; the axon plugin otherwise "
@@ -157,6 +167,7 @@ def main():
     from cvpce_tpu.data import transforms as T
     from cvpce_tpu.data.synthetic import planogram_scene, product_styles
     from cvpce_tpu.models.gln import GLNConfig
+    from cvpce_tpu.pipeline.calibrate import resolve_threshold
     from cvpce_tpu.pipeline.classifier import Classifier
     from cvpce_tpu.pipeline.evaluator import (PlanogramComparator,
                                               PlanogramEvaluator)
@@ -165,14 +176,17 @@ def main():
     from cvpce_tpu.train.gln import GLNTrainConfig, init_train_state
 
     platform = jax.devices()[0].platform
-    report(platform=platform, embedder=args.embedder)
+    confidence = resolve_threshold(args.confidence, args.gln)
+    report(platform=platform, embedder=args.embedder,
+           confidence=round(confidence, 4),
+           calibrated=args.confidence == "auto")
 
-    # trained GLN at its training canvas (256x320 — the convergence
-    # run's shapes; load via the train-state template to match the
-    # checkpoint's optimizer pytree, as detector_int8_check.py does)
-    h, w = 256, 320
-    cfg = GLNConfig(canvas_h=h, canvas_w=w, max_nms_candidates=1024,
-                    detections_per_img=256,
+    # trained GLN at its training canvas (load via the train-state
+    # template to match the checkpoint's optimizer pytree)
+    h, w = args.canvas
+    cfg = GLNConfig(canvas_h=h, canvas_w=w,
+                    max_nms_candidates=args.nms_candidates,
+                    detections_per_img=args.det_per_img,
                     use_pallas_nms=platform not in ("cpu",))
     state, _ = init_train_state(
         cfg, GLNTrainConfig(lr=0.0025, match_chunk=8192,
@@ -181,7 +195,7 @@ def main():
     variables = {"params": state.params, "frozen": state.frozen,
                  "batch_stats": state.batch_stats}
     generator = ProposalGenerator(variables, cfg,
-                                  confidence_threshold=args.confidence)
+                                  confidence_threshold=confidence)
 
     styles = product_styles(args.products)
     gallery = GallerySet(styles)
