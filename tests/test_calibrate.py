@@ -1,0 +1,111 @@
+"""Serving-threshold calibration (pipeline/calibrate.py).
+
+The reference hardcodes score > 0.5 at serving
+(/root/reference/cvpce/production.py:14); calibrate_confidence picks the
+max-F1 operating point on a held-out split instead and persists it next
+to the checkpoint. These tests pin the resolution precedence and the
+max-F1 selection on a controlled fake detector.
+"""
+import numpy as np
+import pytest
+
+from cvpce_tpu.models.gln import GLNConfig
+from cvpce_tpu.pipeline.calibrate import (calibrate_confidence,
+                                          load_calibration,
+                                          resolve_threshold,
+                                          save_calibration)
+
+
+def test_resolve_explicit_number_wins(tmp_path):
+    save_calibration(str(tmp_path), {"threshold": 0.8})
+    assert resolve_threshold(0.3, str(tmp_path)) == pytest.approx(0.3)
+    assert resolve_threshold("0.25", str(tmp_path)) == pytest.approx(0.25)
+
+
+def test_resolve_auto_reads_calibration(tmp_path):
+    save_calibration(str(tmp_path), {"threshold": 0.62, "f1": 0.9})
+    assert resolve_threshold("auto", str(tmp_path)) == pytest.approx(0.62)
+    assert resolve_threshold(None, str(tmp_path)) == pytest.approx(0.62)
+
+
+def test_resolve_falls_back_to_reference_default(tmp_path):
+    # no calibration file -> the reference's fixed 0.5
+    assert resolve_threshold("auto", str(tmp_path)) == pytest.approx(0.5)
+    assert resolve_threshold("auto", None) == pytest.approx(0.5)
+
+
+def test_save_load_round_trip(tmp_path):
+    cal = {"threshold": 0.71, "f1": 0.88, "precision": 0.9,
+           "recall": 0.86, "iou_threshold": 0.5, "n_images": 16}
+    save_calibration(str(tmp_path), cal)
+    assert load_calibration(str(tmp_path)) == cal
+    assert load_calibration(str(tmp_path / "missing")) is None
+
+
+class _TinyDetSet:
+    """Four 8x8 images, two gt boxes each."""
+
+    def __init__(self):
+        self.boxes = np.asarray([[0, 0, 4, 4], [4, 4, 8, 8]], np.float32)
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        return {
+            "image": np.zeros((8, 8, 3), np.float32),
+            "boxes": self.boxes,
+            "image_size": np.array([8, 8], np.int32),
+            "scale": np.float32(1.0),
+            "orig_boxes": self.boxes.copy(),
+        }
+
+
+def test_calibrate_picks_max_f1_point():
+    """Fake detector: exact gt boxes at confidence 0.9 plus one false
+    positive at 0.2 per image. Keeping everything gives precision 2/3;
+    cutting at >0.2 gives F1 1.0, so the calibrated threshold must land
+    in (0.2, 0.9] with perfect P/R there."""
+    ds = _TinyDetSet()
+
+    def infer_fn(variables, images, sizes):
+        b = images.shape[0]
+        boxes = np.tile(
+            np.asarray([[0, 0, 4, 4], [4, 4, 8, 8], [0, 4, 4, 8]],
+                       np.float32)[None], (b, 1, 1))
+        scores = np.tile(np.asarray([0.9, 0.9, 0.2], np.float32)[None],
+                         (b, 1))
+        return {"boxes": boxes, "scores": scores,
+                "valid": np.ones((b, 3), bool)}
+
+    cal = calibrate_confidence({}, GLNConfig(canvas_h=8, canvas_w=8),
+                               ds, batch_size=2, infer_fn=infer_fn)
+    assert 0.2 < cal["threshold"] <= 0.9
+    assert cal["f1"] == pytest.approx(1.0)
+    assert cal["precision"] == pytest.approx(1.0)
+    assert cal["recall"] == pytest.approx(1.0)
+    assert cal["n_images"] == 4
+
+
+def test_calibrate_threshold_separates_noise():
+    """With gt at 0.6 and dense junk at 0.55, max-F1 must sit between —
+    i.e. the calibrated point actually discriminates, it isn't a fixed
+    0.5 (the r2 e2e failure mode: precision 0.46 at the reference's
+    hardcoded threshold)."""
+    ds = _TinyDetSet()
+
+    def infer_fn(variables, images, sizes):
+        b = images.shape[0]
+        junk = np.stack([np.asarray([0, 0, 2, 2], np.float32) + i
+                         for i in range(4)])
+        boxes = np.concatenate(
+            [np.asarray([[0, 0, 4, 4], [4, 4, 8, 8]], np.float32), junk])
+        scores = np.asarray([0.6, 0.6, 0.55, 0.55, 0.55, 0.55], np.float32)
+        return {"boxes": np.tile(boxes[None], (b, 1, 1)),
+                "scores": np.tile(scores[None], (b, 1)),
+                "valid": np.ones((b, 6), bool)}
+
+    cal = calibrate_confidence({}, GLNConfig(canvas_h=8, canvas_w=8),
+                               ds, batch_size=4, infer_fn=infer_fn)
+    assert 0.55 < cal["threshold"] <= 0.6 + 1e-6
+    assert cal["f1"] == pytest.approx(1.0)
