@@ -22,7 +22,12 @@ def _pipeline_options(f):
                      show_default=True)(f)
     f = click.option("--index", default=None,
                      help="prebuilt classifier index")(f)
-    f = click.option("--confidence", default=0.5, show_default=True)(f)
+    f = click.option("--confidence", default="auto", show_default=True,
+                     help="detection serving threshold; 'auto' reads the "
+                          "max-F1 calibration persisted next to the GLN "
+                          "checkpoint (pipeline/calibrate.py) and falls "
+                          "back to the reference's fixed 0.5 "
+                          "(cvpce/production.py:14) when absent")(f)
     f = click.option("--fast", is_flag=True,
                      help="bf16 + approx top-k TPU speed path")(f)
     f = click.option("--canvas", nargs=2, type=int, default=(832, 1344),
@@ -44,6 +49,8 @@ def _build_pipeline(gln_weights, encoder_weights, source, index,
     import dataclasses
 
     from ..data.grocery import GroceryProductsDataset
+    from ..pipeline.calibrate import (calibration_dir_for_weights,
+                                      load_calibration, resolve_threshold)
     from ..pipeline.classifier import Classifier
     from ..pipeline.proposals import ProposalGenerator
 
@@ -52,8 +59,15 @@ def _build_pipeline(gln_weights, encoder_weights, source, index,
         detections_per_img=max_detections,
         max_nms_candidates=nms_candidates)
     variables = load_gln_variables(gln_weights, config)
+    ckpt_dir = calibration_dir_for_weights(gln_weights)
+    threshold = resolve_threshold(confidence, ckpt_dir)
+    provenance = ("pinned" if confidence not in (None, "auto")
+                  else "calibrated" if load_calibration(ckpt_dir)
+                  else "reference default")
+    click.echo(f"serving confidence threshold: {threshold:.4f} "
+               f"({provenance})", err=True)
     generator = ProposalGenerator(variables, config,
-                                  confidence_threshold=confidence)
+                                  confidence_threshold=threshold)
     # --fast extends to the embed stage: int8 MXU convs (vgg16 path)
     encoder_fn, emb_size = load_embedder(encoder_weights, int8=fast)
     mesh = None

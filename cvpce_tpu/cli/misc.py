@@ -24,7 +24,9 @@ def misc():
 @click.option("--gln-weights", default=None,
               help="GLN checkpoint; random init if omitted (demo mode)")
 @click.option("--encoder-weights", default=None)
-@click.option("--confidence", default=0.5, show_default=True)
+@click.option("--confidence", default="auto", show_default=True,
+              help="'auto' reads the max-F1 calibration persisted next "
+                   "to --gln-weights, else the reference's fixed 0.5")
 @click.option("--canvas", nargs=2, type=int, default=(832, 1344),
               show_default=True, help="detector canvas (h w)")
 def pipeline_demo(image, gallery, plano_path, gln_weights, encoder_weights,
@@ -44,8 +46,13 @@ def pipeline_demo(image, gallery, plano_path, gln_weights, encoder_weights,
                        max_nms_candidates=min(5120, (h // 8) * (w // 8)),
                        detections_per_img=min(1000, (h // 8) * (w // 8)))
     variables = load_gln_variables(gln_weights, config)
+    from ..pipeline.calibrate import (calibration_dir_for_weights,
+                                      resolve_threshold)
+
+    threshold = resolve_threshold(
+        confidence, calibration_dir_for_weights(gln_weights))
     generator = ProposalGenerator(variables, config,
-                                  confidence_threshold=confidence)
+                                  confidence_threshold=threshold)
     encoder_fn, emb_size = load_embedder(encoder_weights)
 
     folder = SimpleFolderSet(gallery)

@@ -75,3 +75,21 @@ def resolve_threshold(confidence, checkpoint_dir: Optional[str],
         if cal:
             return float(cal["threshold"])
     return default
+
+
+def calibration_dir_for_weights(weights: Optional[str]) -> Optional[str]:
+    """Locate the directory whose calibration file governs `weights` —
+    a GLN weights argument may be the training run dir, the rotating
+    `checkpoint` subdir inside it, or a checkpoint file; the calibration
+    json lives at the run-dir level (train_convergence --calibrate /
+    save_calibration). Checks the path itself, then its parent; returns
+    the first with a calibration file (or the innermost candidate, so
+    resolve_threshold falls back to the default consistently)."""
+    if weights is None:
+        return None
+    weights = path.abspath(weights)
+    first = weights if path.isdir(weights) else path.dirname(weights)
+    for d in (first, path.dirname(first)):
+        if load_calibration(d):
+            return d
+    return first

@@ -11,6 +11,7 @@ import pytest
 
 from cvpce_tpu.models.gln import GLNConfig
 from cvpce_tpu.pipeline.calibrate import (calibrate_confidence,
+                                          calibration_dir_for_weights,
                                           load_calibration,
                                           resolve_threshold,
                                           save_calibration)
@@ -32,6 +33,27 @@ def test_resolve_falls_back_to_reference_default(tmp_path):
     # no calibration file -> the reference's fixed 0.5
     assert resolve_threshold("auto", str(tmp_path)) == pytest.approx(0.5)
     assert resolve_threshold("auto", None) == pytest.approx(0.5)
+
+
+def test_calibration_dir_for_weights(tmp_path):
+    """A GLN weights argument may be the run dir, the rotating
+    `checkpoint` subdir, or a file inside it — calibration lives at the
+    run-dir level and must be found from any of them."""
+    run = tmp_path / "run"
+    ckpt = run / "checkpoint"
+    ckpt.mkdir(parents=True)
+    (ckpt / "blob").write_text("x")
+    save_calibration(str(run), {"threshold": 0.44})
+
+    for weights in (run, ckpt, ckpt / "blob"):
+        d = calibration_dir_for_weights(str(weights))
+        assert resolve_threshold("auto", d) == pytest.approx(0.44), weights
+    assert calibration_dir_for_weights(None) is None
+    # no calibration anywhere -> innermost candidate, default threshold
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    d = calibration_dir_for_weights(str(bare))
+    assert resolve_threshold("auto", d) == pytest.approx(0.5)
 
 
 def test_save_load_round_trip(tmp_path):

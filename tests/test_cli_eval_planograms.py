@@ -78,6 +78,27 @@ def test_eval_planograms_internal(internal_fixture):
 
 
 @pytest.mark.slow
+def test_eval_planograms_auto_confidence(internal_fixture):
+    """Default --confidence auto picks up the max-F1 calibration
+    persisted at the run-dir level (pipeline/calibrate.py) even when
+    --gln-weights points at the rotating `checkpoint` subdir."""
+    from cvpce_tpu.cli import cli
+    from cvpce_tpu.pipeline.calibrate import save_calibration
+
+    ckpt, gal, planos = internal_fixture
+    save_calibration(os.path.dirname(ckpt), {"threshold": 0.0, "f1": 1.0})
+    args = [a for a in _base_args(ckpt, gal) if a not in ("--confidence",
+                                                          "0.0")]
+    r = CliRunner().invoke(cli, ["eval-planograms"] + args
+                           + ["--internal", planos],
+                           catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    assert "serving confidence threshold: 0.0000 (calibrated)" in r.output
+    payload = json.loads(r.output[r.output.index("{"):])
+    assert 0.0 <= payload["mean_accuracy"] <= 1.0
+
+
+@pytest.mark.slow
 def test_plot_planogram_eval_internal(internal_fixture, tmp_path):
     from cvpce_tpu.cli import cli
 
