@@ -17,6 +17,23 @@ from typing import Dict, Tuple
 import numpy as np
 
 
+def _cached_item(store: dict, i: int, render) -> Dict:
+    """Memoize a deterministic per-index detection item.
+
+    Scenes are pure functions of (seed, index), so re-rendering each
+    epoch only burns host CPU (the dev box has one core; a full-canvas
+    epoch re-render costs ~40 s). The image array is shared read-only
+    across epochs; box arrays are returned as fresh copies since
+    downstream collation pads/scales them.
+    """
+    if i not in store:
+        store[i] = render()
+    item = dict(store[i])
+    item["boxes"] = item["boxes"].copy()
+    item["orig_boxes"] = item["orig_boxes"].copy()
+    return item
+
+
 def shelf_scene(h: int, w: int, rng: np.random.Generator,
                 min_shelves: int = 4, max_shelves: int = 8,
                 fill: float = 0.92) -> Tuple[np.ndarray, np.ndarray]:
@@ -84,6 +101,7 @@ class SyntheticShelfDataset:
         self.seed = seed
         self.min_shelves = min_shelves
         self.max_shelves = max_shelves
+        self._items: Dict[int, Dict] = {}
 
     def __len__(self) -> int:
         return self.n
@@ -91,6 +109,9 @@ class SyntheticShelfDataset:
     def __getitem__(self, i: int) -> Dict:
         if not 0 <= i < self.n:
             raise IndexError(i)
+        return _cached_item(self._items, i, lambda: self._render(i))
+
+    def _render(self, i: int) -> Dict:
         rng = np.random.default_rng((self.seed, i))
         img, boxes = shelf_scene(self.canvas_h, self.canvas_w, rng,
                                  self.min_shelves, self.max_shelves)
@@ -203,6 +224,7 @@ class PlanogramSceneDetectionSet:
         self.violation_rate = violation_rate
         self.min_shelves = min_shelves
         self.max_shelves = max_shelves
+        self._items: Dict[int, Dict] = {}
 
     def __len__(self) -> int:
         return self.n
@@ -210,6 +232,9 @@ class PlanogramSceneDetectionSet:
     def __getitem__(self, i: int) -> Dict:
         if not 0 <= i < self.n:
             raise IndexError(i)
+        return _cached_item(self._items, i, lambda: self._render(i))
+
+    def _render(self, i: int) -> Dict:
         rng = np.random.default_rng((self.seed, 77, i))
         vr = 0.0 if i % 2 == 0 else self.violation_rate
         img, _, actual, _ = planogram_scene(

@@ -211,6 +211,21 @@ def main():
                improved_vs_baseline=bool(tri_top1 >= base_top1),
                wall=round(time.time() - t0, 1))
 
+        # persist as a loadable embedder_checkpoint (same layout as
+        # train_dihe's rotating save) in <out>_triplet so the e2e
+        # validation can serve whichever trained mode wins
+        from cvpce_tpu.train.checkpoint import CheckpointManager
+        from cvpce_tpu.train.dihe import init_dihe_state
+
+        template, _ = init_dihe_state(DIHETrainConfig(enc_lr=args.enc_lr),
+                                      jax.random.PRNGKey(1))
+        state_t = template.replace(emb_params=jax.device_get(params),
+                                   emb_stats=jax.device_get(stats))
+        CheckpointManager(args.out + "_triplet",
+                          name="embedder_checkpoint").save_rotating(
+            state_t, {"mode": "triplet",
+                      "gt_crop_top1": float(tri_top1)})
+
     if args.mode in ("3player", "both"):
         t0 = time.time()
         gan_epochs = max(1, args.gan_steps

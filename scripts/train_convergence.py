@@ -46,6 +46,12 @@ def main():
                     help="detections_per_img (production parity: 1000, "
                          "cvpce/models/proposals.py:164-165)")
     ap.add_argument("--nms-candidates", type=int, default=1024)
+    ap.add_argument("--checkpoint-interval", type=int, default=0,
+                    help="rotating-save every N steps; 0 = only the "
+                         "unconditional end-of-epoch save (each save "
+                         "fetches the full ~390 MB train state through "
+                         "the tunnel at ~25 MB/s — mid-epoch saves are "
+                         "pure overhead for short epochs)")
     ap.add_argument("--calibrate", action="store_true",
                     help="after training, pick the max-F1 serving "
                          "threshold on held-out planogram scenes and "
@@ -126,10 +132,11 @@ def main():
 
     t0 = time.time()
     try:
+        ckpt_interval = args.checkpoint_interval or 1_000_000_000
         train_proposal_generator(
             trainset, evalset, args.out, model_cfg=model_cfg,
             train_cfg=train_cfg, batch_size=args.batch_size,
-            epochs=args.epochs, checkpoint_interval=args.steps_per_call,
+            epochs=args.epochs, checkpoint_interval=ckpt_interval,
             eval_interval=1, eval_threshold=0.5, use_mesh=False,
             steps_per_call=args.steps_per_call, hyperopt_report=report,
             resume=args.resume, seed=0)
