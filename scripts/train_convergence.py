@@ -101,8 +101,11 @@ def main():
                                      max_shelves=shelves[1])
 
     def plano_set(n, seed):
+        # match the e2e validation's planogram_scene defaults (3..5
+        # shelves) exactly — the detector must see the distribution the
+        # pipeline serves, including the tall-product 3-shelf layouts
         return PlanogramSceneDetectionSet(
-            n, h, w, seed=seed, min_shelves=shelves[0],
+            n, h, w, seed=seed, min_shelves=3,
             max_shelves=min(shelves[1], 5))
 
     if args.scene_mix == "shelf":
