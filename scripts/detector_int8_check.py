@@ -31,6 +31,16 @@ def main():
     ap.add_argument("--ckpt", default="/tmp/convergence_run")
     ap.add_argument("--skip-speed", action="store_true")
     ap.add_argument("--skip-ap", action="store_true")
+    ap.add_argument("--canvas", nargs=2, type=int, default=(256, 320),
+                    help="AP-parity canvas — must match the checkpoint "
+                         "(round-3 full-canvas run: 832 1344)")
+    ap.add_argument("--det-per-img", type=int, default=256)
+    ap.add_argument("--nms-candidates", type=int, default=1024)
+    ap.add_argument("--scene-mix", choices=["shelf", "mixed"],
+                    default="shelf",
+                    help="AP-parity eval distribution; 'mixed' matches "
+                         "the round-3 training mix (shelf + planogram)")
+    ap.add_argument("--batch-size", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -47,11 +57,12 @@ def main():
     platform = jax.devices()[0].platform
     report(platform=platform)
 
-    # ---- AP parity on the trained checkpoint (256x320 canvas) ----
+    # ---- AP parity on the trained checkpoint (its training canvas) ----
     if not args.skip_ap:
-        h, w = 256, 320
-        cfg = GLNConfig(canvas_h=h, canvas_w=w, max_nms_candidates=1024,
-                        detections_per_img=256,
+        h, w = args.canvas
+        cfg = GLNConfig(canvas_h=h, canvas_w=w,
+                        max_nms_candidates=args.nms_candidates,
+                        detections_per_img=args.det_per_img,
                         use_pallas_nms=platform not in ("cpu",))
         state, _ = init_train_state(
             cfg, GLNTrainConfig(lr=0.0025, match_chunk=8192,
@@ -62,10 +73,24 @@ def main():
                      "batch_stats": state.batch_stats}
         report(ckpt_step=int(state.step))
 
-        trainset = SyntheticShelfDataset(8, h, w, seed=0, min_shelves=3,
-                                         max_shelves=5)
+        shelves = (3, 5) if h <= 320 else (4, 8)
+        trainset = SyntheticShelfDataset(8, h, w, seed=0,
+                                         min_shelves=shelves[0],
+                                         max_shelves=shelves[1])
         evalset = SyntheticShelfDataset(16, h, w, seed=10_000,
-                                        min_shelves=3, max_shelves=5)
+                                        min_shelves=shelves[0],
+                                        max_shelves=shelves[1])
+        if args.scene_mix == "mixed":
+            from cvpce_tpu.data.synthetic import (
+                InterleavedDataset, PlanogramSceneDetectionSet)
+
+            evalset = InterleavedDataset(
+                SyntheticShelfDataset(8, h, w, seed=10_000,
+                                      min_shelves=shelves[0],
+                                      max_shelves=shelves[1]),
+                PlanogramSceneDetectionSet(8, h, w, seed=10_000,
+                                           min_shelves=3,
+                                           max_shelves=min(shelves[1], 5)))
         cal_imgs = jnp.asarray(np.stack(
             [trainset[i]["image"] for i in range(8)]))
 
@@ -86,7 +111,8 @@ def main():
             infer_fn = make_variables_inference_fn(vcfg)
             t0 = time.time()
             res = evaluate_gln(v_by_variant[name], evalset, vcfg,
-                               batch_size=4, infer_fn=infer_fn)
+                               batch_size=args.batch_size,
+                               infer_fn=infer_fn)
             r = res[0.5]
             report(variant=name, ap=round(float(r["ap"]), 4),
                    ar300=round(float(r["ar_300"]), 4),
