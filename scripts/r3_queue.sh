@@ -14,12 +14,16 @@ GATE="bash scripts/tpu_gate.sh --"
 
 stamp() { echo "[r3_queue $(date -u +%H:%M:%S)] $*"; }
 
-# 1. wait out the in-flight GLN trainer (launched separately)
-if [[ -f /tmp/gln_r3.pid ]]; then
-  stamp "waiting on GLN trainer pid $(cat /tmp/gln_r3.pid)"
-  while kill -0 "$(cat /tmp/gln_r3.pid)" 2>/dev/null; do sleep 60; done
-fi
-stamp "GLN trainer done (log tail):"
+# 1. wait out any in-flight TPU job launched separately (the GLN
+#    trainer, or the standalone calibration run after a cut-short
+#    training run)
+for pf in /tmp/gln_r3.pid /tmp/cal_r3.pid; do
+  if [[ -f $pf ]]; then
+    stamp "waiting on $(basename "$pf") pid $(cat "$pf")"
+    while kill -0 "$(cat "$pf")" 2>/dev/null; do sleep 60; done
+  fi
+done
+stamp "prior TPU jobs done (training log tail):"
 tail -3 reports/convergence_gln_r3.log || true
 
 # 2. DIHE archetype-domain ablation (VERDICT r2 #2): baseline vs
