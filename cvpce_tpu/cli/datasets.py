@@ -86,9 +86,14 @@ def sku_visualize(imgs, annotations, index, out, flip, gaussians, model,
                                      canvas_h=canvas[0], canvas_w=canvas[1],
                                      detections_per_img=max_detections,
                                      max_nms_candidates=nms_candidates)
+        from ..pipeline.calibrate import (calibration_dir_for_weights,
+                                          resolve_input_norm)
+
         variables = load_gln_variables(model, config)
-        gen = ProposalGenerator(variables, config,
-                                confidence_threshold=conf_thresh)
+        gen = ProposalGenerator(
+            variables, config, confidence_threshold=conf_thresh,
+            input_norm=resolve_input_norm(
+                calibration_dir_for_weights(model)))
         det_boxes = gen.generate_proposals(img)
     _save_boxes_viz(img, boxes, out, extra_boxes=det_boxes)
     if gaussians:

@@ -50,7 +50,8 @@ def _build_pipeline(gln_weights, encoder_weights, source, index,
 
     from ..data.grocery import GroceryProductsDataset
     from ..pipeline.calibrate import (calibration_dir_for_weights,
-                                      load_calibration, resolve_threshold)
+                                      load_calibration, resolve_input_norm,
+                                      resolve_threshold)
     from ..pipeline.classifier import Classifier
     from ..pipeline.proposals import ProposalGenerator
 
@@ -66,8 +67,9 @@ def _build_pipeline(gln_weights, encoder_weights, source, index,
                   else "reference default")
     click.echo(f"serving confidence threshold: {threshold:.4f} "
                f"({provenance})", err=True)
-    generator = ProposalGenerator(variables, config,
-                                  confidence_threshold=threshold)
+    generator = ProposalGenerator(
+        variables, config, confidence_threshold=threshold,
+        input_norm=resolve_input_norm(ckpt_dir))
     # --fast extends to the embed stage: int8 MXU convs (vgg16 path)
     encoder_fn, emb_size = load_embedder(encoder_weights, int8=fast)
     mesh = None

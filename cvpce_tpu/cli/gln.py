@@ -224,10 +224,14 @@ def detect(image, weights, threshold, fast, out):
     from ..data import transforms as T
     from ..pipeline.proposals import ProposalGenerator
 
+    from ..pipeline.calibrate import (calibration_dir_for_weights,
+                                      resolve_input_norm)
+
     config = default_gln_config(fast)
     variables = load_gln_variables(weights, config)
-    gen = ProposalGenerator(variables, config,
-                            confidence_threshold=threshold)
+    gen = ProposalGenerator(
+        variables, config, confidence_threshold=threshold,
+        input_norm=resolve_input_norm(calibration_dir_for_weights(weights)))
     img = T.load_image(image)
     res = gen.detect(img)
     keep = res["valid"] & (res["scores"] > threshold)

@@ -47,12 +47,13 @@ def pipeline_demo(image, gallery, plano_path, gln_weights, encoder_weights,
                        detections_per_img=min(1000, (h // 8) * (w // 8)))
     variables = load_gln_variables(gln_weights, config)
     from ..pipeline.calibrate import (calibration_dir_for_weights,
-                                      resolve_threshold)
+                                      resolve_input_norm, resolve_threshold)
 
-    threshold = resolve_threshold(
-        confidence, calibration_dir_for_weights(gln_weights))
+    ckpt_dir = calibration_dir_for_weights(gln_weights)
+    threshold = resolve_threshold(confidence, ckpt_dir)
     generator = ProposalGenerator(variables, config,
-                                  confidence_threshold=threshold)
+                                  confidence_threshold=threshold,
+                                  input_norm=resolve_input_norm(ckpt_dir))
     encoder_fn, emb_size = load_embedder(encoder_weights)
 
     folder = SimpleFolderSet(gallery)

@@ -22,13 +22,20 @@ CALIBRATION_FILE = "serving_calibration.json"
 def calibrate_confidence(variables: Dict, model_cfg, dataset,
                          iou_threshold: float = 0.5,
                          batch_size: int = 4,
-                         infer_fn=None) -> Dict:
+                         infer_fn=None,
+                         input_norm: str = "imagenet") -> Dict:
     """Sweep the detection-confidence operating point on `dataset`
     (held-out scenes) and return the max-F1 point.
 
     Returns {"threshold", "f1", "precision", "recall", "ap", "ar_300",
-    "iou_threshold", "n_images"} — `threshold` is the confidence at
-    max F1 (ops/metrics.py `c`).
+    "iou_threshold", "n_images", "input_norm"} — `threshold` is the
+    confidence at max F1 (ops/metrics.py `c`).
+
+    `input_norm` records the preprocessing the checkpoint expects
+    ("imagenet" for real-dataset/reference checkpoints whose loaders
+    normalize, "raw01" for the synthetic sets that feed [0,1] images);
+    serving surfaces read it back via resolve_input_norm so the
+    production ProposalGenerator preprocesses exactly like training did.
     """
     from ..eval.proposals import evaluate_gln
 
@@ -45,6 +52,7 @@ def calibrate_confidence(variables: Dict, model_cfg, dataset,
         "ar_300": float(stats["ar_300"]),
         "iou_threshold": float(iou_threshold),
         "n_images": len(dataset),
+        "input_norm": input_norm,
     }
 
 
@@ -74,6 +82,20 @@ def resolve_threshold(confidence, checkpoint_dir: Optional[str],
         cal = load_calibration(checkpoint_dir)
         if cal:
             return float(cal["threshold"])
+    return default
+
+
+def resolve_input_norm(checkpoint_dir: Optional[str],
+                       default: str = "imagenet") -> str:
+    """Preprocessing resolution for a checkpoint: reads `input_norm`
+    from its calibration file; defaults to "imagenet" (every reference
+    checkpoint trains behind torchvision's normalizing transform,
+    torchvision GeneralizedRCNNTransform — cvpce/models/proposals.py
+    builds on it). Synthetic-trained checkpoints record "raw01"."""
+    if checkpoint_dir:
+        cal = load_calibration(checkpoint_dir)
+        if cal and "input_norm" in cal:
+            return str(cal["input_norm"])
     return default
 
 

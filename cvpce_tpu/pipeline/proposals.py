@@ -24,16 +24,29 @@ Array = jnp.ndarray
 class ProposalGenerator:
     def __init__(self, variables: Dict, config: GLNConfig,
                  confidence_threshold: float = 0.5,
-                 max_proposals: int = 256, mesh=None):
+                 max_proposals: int = 256, mesh=None,
+                 input_norm: str = "imagenet"):
         """`mesh`: optional jax.sharding.Mesh — `detect_batch` shards the
         image batch over its first axis (variables replicated, placed
         once). Postprocess/NMS is per-image, so DP sharding is exact;
         the reference's production path is strictly single-GPU
-        (cvpce/production.py:8-20)."""
+        (cvpce/production.py:8-20).
+
+        `input_norm`: the preprocessing the CHECKPOINT was trained with —
+        "imagenet" (torchvision GeneralizedRCNNTransform semantics, what
+        every reference checkpoint and the real-dataset loaders use) or
+        "raw01" (images fed to the model in [0,1] as-is; the synthetic
+        detection sets train this way). Serving with the wrong one is a
+        silent domain shift that collapses precision (the round-2/3 e2e
+        failure); resolve it from checkpoint metadata via
+        pipeline.calibrate.resolve_input_norm."""
         self.config = config
         self.confidence_threshold = confidence_threshold
         self.max_proposals = max_proposals
         self.mesh = mesh
+        if input_norm not in ("imagenet", "raw01"):
+            raise ValueError(f"unknown input_norm: {input_norm!r}")
+        self.input_norm = input_norm
         anchors, counts = config.anchors()
         model = GLN(config=config, train=False)
 
@@ -68,7 +81,8 @@ class ProposalGenerator:
         """Run GLN on one image (HWC [0,1]). Returns canvas-space results
         mapped back to original image coordinates."""
         canvas, _, (ch, cw), scale = T.detection_canvas(
-            image, None, self.config.canvas_h, self.config.canvas_w)
+            image, None, self.config.canvas_h, self.config.canvas_w,
+            normalize=self.input_norm == "imagenet")
         res = self._infer(canvas[None],
                           jnp.asarray([[ch, cw]], jnp.float32))
         boxes = np.asarray(res["boxes"][0]) / scale
@@ -87,7 +101,8 @@ class ProposalGenerator:
         canvases, sizes, scales = [], [], []
         for image in images:
             canvas, _, (ch, cw), scale = T.detection_canvas(
-                image, None, self.config.canvas_h, self.config.canvas_w)
+                image, None, self.config.canvas_h, self.config.canvas_w,
+                normalize=self.input_norm == "imagenet")
             canvases.append(canvas)
             sizes.append([ch, cw])
             scales.append(scale)

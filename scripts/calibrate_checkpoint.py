@@ -66,10 +66,14 @@ def main():
     calset = PlanogramSceneDetectionSet(args.eval_n, h, w,
                                         seed=args.seed, min_shelves=3,
                                         max_shelves=5)
+    # input_norm="raw01": the synthetic sets feed [0,1] images straight
+    # to the model, so that is the preprocessing this checkpoint expects
+    # at serving time (resolve_input_norm reads it back).
     cal = calibrate_confidence(
         {"params": state.params, "frozen": state.frozen,
          "batch_stats": state.batch_stats},
-        model_cfg, calset, batch_size=args.batch_size)
+        model_cfg, calset, batch_size=args.batch_size,
+        input_norm="raw01")
     out = save_calibration(args.ckpt, cal)
     print(json.dumps({"calibration": cal, "written": out}), flush=True)
     print(json.dumps({"name": "DONE"}), flush=True)

@@ -167,7 +167,8 @@ def main():
     from cvpce_tpu.data import transforms as T
     from cvpce_tpu.data.synthetic import planogram_scene, product_styles
     from cvpce_tpu.models.gln import GLNConfig
-    from cvpce_tpu.pipeline.calibrate import resolve_threshold
+    from cvpce_tpu.pipeline.calibrate import (resolve_input_norm,
+                                              resolve_threshold)
     from cvpce_tpu.pipeline.classifier import Classifier
     from cvpce_tpu.pipeline.evaluator import (PlanogramComparator,
                                               PlanogramEvaluator)
@@ -177,9 +178,10 @@ def main():
 
     platform = jax.devices()[0].platform
     confidence = resolve_threshold(args.confidence, args.gln)
+    input_norm = resolve_input_norm(args.gln, default="raw01")
     report(platform=platform, embedder=args.embedder,
            confidence=round(confidence, 4),
-           calibrated=args.confidence == "auto")
+           calibrated=args.confidence == "auto", input_norm=input_norm)
 
     # trained GLN at its training canvas (load via the train-state
     # template to match the checkpoint's optimizer pytree)
@@ -195,7 +197,8 @@ def main():
     variables = {"params": state.params, "frozen": state.frozen,
                  "batch_stats": state.batch_stats}
     generator = ProposalGenerator(variables, cfg,
-                                  confidence_threshold=confidence)
+                                  confidence_threshold=confidence,
+                                  input_norm=input_norm)
 
     styles = product_styles(args.products)
     gallery = GallerySet(styles)

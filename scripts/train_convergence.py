@@ -193,7 +193,8 @@ def main():
         cal = calibrate_confidence(
             {"params": state.params, "frozen": state.frozen,
              "batch_stats": state.batch_stats},
-            model_cfg, calset, batch_size=args.batch_size)
+            model_cfg, calset, batch_size=args.batch_size,
+            input_norm="raw01")  # synthetic sets feed [0,1] images
         save_calibration(args.out, cal)
         print(json.dumps({"calibration": cal}), flush=True)
 

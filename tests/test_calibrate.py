@@ -13,6 +13,7 @@ from cvpce_tpu.models.gln import GLNConfig
 from cvpce_tpu.pipeline.calibrate import (calibrate_confidence,
                                           calibration_dir_for_weights,
                                           load_calibration,
+                                          resolve_input_norm,
                                           resolve_threshold,
                                           save_calibration)
 
@@ -64,6 +65,52 @@ def test_save_load_round_trip(tmp_path):
     assert load_calibration(str(tmp_path / "missing")) is None
 
 
+def test_resolve_input_norm(tmp_path):
+    """Checkpoint metadata wins; the fallback is the reference's
+    normalizing transform (every torch checkpoint trains behind it),
+    with a caller-supplied default for synthetic-only contexts."""
+    assert resolve_input_norm(None) == "imagenet"
+    assert resolve_input_norm(str(tmp_path)) == "imagenet"
+    assert resolve_input_norm(str(tmp_path), default="raw01") == "raw01"
+    save_calibration(str(tmp_path), {"threshold": 0.5,
+                                     "input_norm": "raw01"})
+    assert resolve_input_norm(str(tmp_path)) == "raw01"
+    # older calibration files predate the field -> default applies
+    save_calibration(str(tmp_path), {"threshold": 0.5})
+    assert resolve_input_norm(str(tmp_path)) == "imagenet"
+
+
+def test_proposal_generator_input_norm_controls_preprocessing():
+    """The serving-time canvas must match the checkpoint's training
+    diet: 'raw01' feeds the [0,1] image as-is, 'imagenet' applies the
+    torchvision normalization. The round-2/3 e2e collapse came from
+    serving a raw01-trained checkpoint through the normalizing path."""
+    from cvpce_tpu.data.transforms import normalize_imagenet
+    from cvpce_tpu.pipeline.proposals import ProposalGenerator
+
+    cfg = GLNConfig(canvas_h=32, canvas_w=32, max_nms_candidates=64,
+                    detections_per_img=8, use_pallas_nms=False)
+    img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+    seen = {}
+
+    def fake_infer(images, sizes):
+        seen["canvas"] = np.asarray(images)[0]
+        return {"boxes": np.zeros((1, 8, 4), np.float32),
+                "scores": np.zeros((1, 8), np.float32),
+                "valid": np.zeros((1, 8), bool),
+                "gaussians": np.zeros((1, 8, 8), np.float32)}
+
+    for norm, expect in (("raw01", img),
+                         ("imagenet", normalize_imagenet(img))):
+        gen = ProposalGenerator({}, cfg, input_norm=norm)
+        gen._infer = fake_infer
+        gen.detect(img)
+        np.testing.assert_allclose(seen["canvas"], expect, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        ProposalGenerator({}, cfg, input_norm="bogus")
+
+
 class _TinyDetSet:
     """Four 8x8 images, two gt boxes each."""
 
@@ -101,7 +148,9 @@ def test_calibrate_picks_max_f1_point():
                 "valid": np.ones((b, 3), bool)}
 
     cal = calibrate_confidence({}, GLNConfig(canvas_h=8, canvas_w=8),
-                               ds, batch_size=2, infer_fn=infer_fn)
+                               ds, batch_size=2, infer_fn=infer_fn,
+                               input_norm="raw01")
+    assert cal["input_norm"] == "raw01"
     assert 0.2 < cal["threshold"] <= 0.9
     assert cal["f1"] == pytest.approx(1.0)
     assert cal["precision"] == pytest.approx(1.0)
