@@ -43,8 +43,7 @@ def main():
     from cvpce_tpu.models.gln import GLNConfig
     from cvpce_tpu.pipeline.calibrate import (calibrate_confidence,
                                               save_calibration)
-    from cvpce_tpu.train.checkpoint import CheckpointManager
-    from cvpce_tpu.train.gln import GLNTrainConfig, init_train_state
+    from cvpce_tpu.pipeline.serving import load_gln_variables
 
     h, w = args.canvas
     platform = jax.devices()[0].platform
@@ -55,11 +54,7 @@ def main():
         canvas_h=h, canvas_w=w, max_nms_candidates=args.nms_candidates,
         detections_per_img=args.det_per_img,
         use_pallas_nms=platform not in ("cpu",))
-    state, _ = init_train_state(
-        model_cfg, GLNTrainConfig(lr=0.0025, match_chunk=8192,
-                                  min_negatives=256),
-        jax.random.PRNGKey(0))
-    state = CheckpointManager(args.ckpt).restore(state)
+    variables = load_gln_variables(args.ckpt)
 
     # same held-out planogram-scene distribution the pipeline serves
     # (train_convergence.py plano_set: 3..5 shelves at full canvas)
@@ -70,9 +65,7 @@ def main():
     # to the model, so that is the preprocessing this checkpoint expects
     # at serving time (resolve_input_norm reads it back).
     cal = calibrate_confidence(
-        {"params": state.params, "frozen": state.frozen,
-         "batch_stats": state.batch_stats},
-        model_cfg, calset, batch_size=args.batch_size,
+        variables, model_cfg, calset, batch_size=args.batch_size,
         input_norm="raw01")
     out = save_calibration(args.ckpt, cal)
     print(json.dumps({"calibration": cal, "written": out}), flush=True)

@@ -51,8 +51,7 @@ def main():
                                           make_variables_inference_fn)
     from cvpce_tpu.models.gln import GLN, GLNConfig
     from cvpce_tpu.models.quant import calibrate_act_scales
-    from cvpce_tpu.train.checkpoint import CheckpointManager
-    from cvpce_tpu.train.gln import GLNTrainConfig, init_train_state
+    from cvpce_tpu.pipeline.serving import load_gln_variables
 
     platform = jax.devices()[0].platform
     report(platform=platform)
@@ -64,14 +63,7 @@ def main():
                         max_nms_candidates=args.nms_candidates,
                         detections_per_img=args.det_per_img,
                         use_pallas_nms=platform not in ("cpu",))
-        state, _ = init_train_state(
-            cfg, GLNTrainConfig(lr=0.0025, match_chunk=8192,
-                                min_negatives=256),
-            jax.random.PRNGKey(0))
-        state = CheckpointManager(args.ckpt).restore(state)
-        variables = {"params": state.params, "frozen": state.frozen,
-                     "batch_stats": state.batch_stats}
-        report(ckpt_step=int(state.step))
+        variables = load_gln_variables(args.ckpt)
 
         shelves = (3, 5) if h <= 320 else (4, 8)
         trainset = SyntheticShelfDataset(8, h, w, seed=0,

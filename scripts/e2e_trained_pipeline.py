@@ -99,13 +99,9 @@ def load_dihe_embedder(dihe_dir: str, gallery):
     import jax.numpy as jnp
 
     from cvpce_tpu.models.embedders import MACVGG, EmbedFn, fold_bn_variables
-    from cvpce_tpu.train.checkpoint import CheckpointManager
-    from cvpce_tpu.train.dihe import DIHETrainConfig, init_dihe_state
+    from cvpce_tpu.pipeline.serving import load_dihe_encoder
 
-    template, _ = init_dihe_state(DIHETrainConfig(), jax.random.PRNGKey(0))
-    state = CheckpointManager(dihe_dir, name="embedder_checkpoint"
-                              ).restore(template)
-    params, stats = state.emb_params, state.emb_stats
+    params, stats = load_dihe_encoder(dihe_dir)
 
     model_t = MACVGG(batch_norm=True, train=True)
 
@@ -173,8 +169,7 @@ def main():
     from cvpce_tpu.pipeline.evaluator import (PlanogramComparator,
                                               PlanogramEvaluator)
     from cvpce_tpu.pipeline.proposals import ProposalGenerator
-    from cvpce_tpu.train.checkpoint import CheckpointManager
-    from cvpce_tpu.train.gln import GLNTrainConfig, init_train_state
+    from cvpce_tpu.pipeline.serving import load_gln_variables
 
     platform = jax.devices()[0].platform
     confidence = resolve_threshold(args.confidence, args.gln)
@@ -183,19 +178,14 @@ def main():
            confidence=round(confidence, 4),
            calibrated=args.confidence == "auto", input_norm=input_norm)
 
-    # trained GLN at its training canvas (load via the train-state
-    # template to match the checkpoint's optimizer pytree)
+    # trained GLN at its training canvas (template-free restore: works
+    # off a full training run dir OR a params-only serving export)
     h, w = args.canvas
     cfg = GLNConfig(canvas_h=h, canvas_w=w,
                     max_nms_candidates=args.nms_candidates,
                     detections_per_img=args.det_per_img,
                     use_pallas_nms=platform not in ("cpu",))
-    state, _ = init_train_state(
-        cfg, GLNTrainConfig(lr=0.0025, match_chunk=8192,
-                            min_negatives=256), jax.random.PRNGKey(0))
-    state = CheckpointManager(args.gln).restore(state)
-    variables = {"params": state.params, "frozen": state.frozen,
-                 "batch_stats": state.batch_stats}
+    variables = load_gln_variables(args.gln)
     generator = ProposalGenerator(variables, cfg,
                                   confidence_threshold=confidence,
                                   input_norm=input_norm)

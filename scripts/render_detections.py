@@ -70,8 +70,7 @@ def main():
     from cvpce_tpu.pipeline.calibrate import (resolve_input_norm,
                                               resolve_threshold)
     from cvpce_tpu.pipeline.proposals import ProposalGenerator
-    from cvpce_tpu.train.checkpoint import CheckpointManager
-    from cvpce_tpu.train.gln import GLNTrainConfig, init_train_state
+    from cvpce_tpu.pipeline.serving import load_gln_variables
     from cvpce_tpu.utils.viz import save_boxes
 
     h, w = args.canvas
@@ -84,13 +83,8 @@ def main():
                     max_nms_candidates=args.nms_candidates,
                     detections_per_img=args.det_per_img,
                     use_pallas_nms=jax.devices()[0].platform != "cpu")
-    state, _ = init_train_state(
-        cfg, GLNTrainConfig(lr=0.0025, match_chunk=8192,
-                            min_negatives=256), jax.random.PRNGKey(0))
-    state = CheckpointManager(args.ckpt).restore(state)
     gen = ProposalGenerator(
-        {"params": state.params, "frozen": state.frozen,
-         "batch_stats": state.batch_stats}, cfg,
+        load_gln_variables(args.ckpt), cfg,
         confidence_threshold=confidence, input_norm=input_norm)
 
     # held-out seeds: disjoint from training ((2, epoch, i) streams) and
