@@ -2,6 +2,7 @@
 reference checkpoints or our orbax checkpoints."""
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -46,30 +47,21 @@ def load_gln_variables(weights: Optional[str], config: GLNConfig) -> Dict:
 
 def _load_gln_orbax(ckpt_dir: str, config: GLNConfig, variables: Dict
                     ) -> Dict:
-    """Restore model variables from a train-loop orbax checkpoint
-    (a GLNTrainState saved by train/checkpoint.py).
-
-    The abstract template is built with the default GLNTrainConfig; runs
-    trained with a non-default `trainable_layers` change the optimizer
-    pytree and need the matching config (load via train/checkpoint
-    directly in that case).
-    """
+    """Restore model variables from an orbax directory: a training-run
+    dir (rotating ``checkpoint``), a params-only serving export
+    (pipeline/serving.py), or a bare checkpoint node saved by
+    train/checkpoint.py. All restores are raw (template-free), so the
+    training run's optimizer config is irrelevant here."""
     from os import path
 
-    from ..train.checkpoint import CheckpointManager
-    from ..train.gln import GLNTrainConfig, init_train_state
+    from ..pipeline.serving import SERVING_NAME, load_gln_variables
 
-    parent, name = path.dirname(path.normpath(ckpt_dir)), \
-        path.basename(path.normpath(ckpt_dir))
-    state, _ = init_train_state(config, GLNTrainConfig(),
-                                jax.random.PRNGKey(0))
-    manager = CheckpointManager(parent, name=name)
-    restored = manager.restore(state)
-    return {
-        "params": restored.params,
-        "frozen": restored.frozen,
-        "batch_stats": restored.batch_stats,
-    }
+    d = path.normpath(ckpt_dir)
+    if (path.exists(path.join(d, SERVING_NAME))
+            or path.exists(path.join(d, "checkpoint"))):
+        return load_gln_variables(d)
+    # bare checkpoint node (e.g. .../epoch_87 or .../checkpoint itself)
+    return load_gln_variables(path.dirname(d), name=path.basename(d))
 
 
 def load_embedder(weights: Optional[str], batch_norm: bool = True,
@@ -98,7 +90,15 @@ def load_embedder(weights: Optional[str], batch_norm: bool = True,
                    int8_static=int8, dtype=dtype)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32))
-    if weights is not None:
+    if weights is not None and os.path.isdir(weights):
+        # DIHE serving export / training-run dir (pipeline/serving.py):
+        # encoder params + BN stats, restored template-free
+        from ..pipeline.serving import load_dihe_encoder
+
+        enc_params, enc_stats = load_dihe_encoder(weights)
+        variables = _merge(variables, {"params": enc_params,
+                                       "batch_stats": enc_stats})
+    elif weights is not None:
         from ..utils.torch_import import (import_vgg16_features,
                                           load_state_dict)
 

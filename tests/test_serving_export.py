@@ -75,6 +75,55 @@ def test_gln_export_round_trip(gln_run, tmp_path):
     assert sorted(tree) == ["batch_stats", "frozen", "params"]
 
 
+def test_cli_loader_accepts_artifact(gln_run, tmp_path):
+    """`gln eval --load <artifact-dir>` path: cli.common.load_gln_variables
+    must restore a serving export (and a run dir) template-free."""
+    from cvpce_tpu.cli import common as cli_common
+
+    run, state = gln_run
+    out = str(tmp_path / "artifact")
+    export_gln_serving(run, out)
+    cfg = GLNConfig(canvas_h=64, canvas_w=96, max_nms_candidates=64,
+                    detections_per_img=16, use_pallas_nms=False)
+    for src in (out, run):
+        variables = cli_common.load_gln_variables(src, cfg)
+        _trees_equal(variables["params"], state.params)
+        _trees_equal(variables["frozen"], state.frozen)
+
+
+def test_cli_embedder_accepts_dihe_dir(tmp_path):
+    """`--load-enc <dihe-dir>`: load_embedder must accept a DIHE run or
+    serving export directory and serve the encoder BN-folded."""
+    import jax.numpy as jnp
+
+    from cvpce_tpu.cli.common import load_embedder
+    from cvpce_tpu.models.embedders import MACVGG
+
+    model = MACVGG(batch_norm=True, train=True)
+    variables = model.init(jax.random.PRNGKey(3),
+                           np.zeros((1, 64, 64, 3), np.float32))
+    state = _FakeDIHEState(
+        emb_params=jax.device_get(variables["params"]),
+        emb_stats=jax.device_get(variables["batch_stats"]),
+        gen_params={"g": np.ones(4, np.float32)},
+        disc_params={"d": np.ones(5, np.float32)})
+    run = str(tmp_path / "run")
+    CheckpointManager(run, name="embedder_checkpoint").save_rotating(
+        state, {"epoch": 2})
+    out = str(tmp_path / "artifact")
+    export_dihe_serving(run, out)
+
+    fn_art, size = load_embedder(out, batch_norm=True)
+    fn_run, _ = load_embedder(run, batch_norm=True)
+    x = np.random.default_rng(0).uniform(-1, 1, (2, 64, 64, 3)
+                                         ).astype(np.float32)
+    ea, er = np.asarray(fn_art(jnp.asarray(x))), \
+        np.asarray(fn_run(jnp.asarray(x)))
+    np.testing.assert_allclose(ea, er, rtol=0, atol=0)
+    assert ea.shape == (2, size)
+    assert np.isfinite(ea).all()
+
+
 def test_gln_loader_rejects_non_gln(tmp_path):
     @struct.dataclass
     class NotGLN:
