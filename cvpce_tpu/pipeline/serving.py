@@ -40,12 +40,14 @@ SERVING_NAME = "serving_checkpoint"
 def _raw_restore(target: str) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
 
-    return ocp.StandardCheckpointer().restore(target)
+    # orbax rejects relative paths ("Checkpoint path should be absolute")
+    return ocp.StandardCheckpointer().restore(path.abspath(target))
 
 
 def _save(target: str, tree: Dict[str, Any]) -> None:
     import orbax.checkpoint as ocp
 
+    target = path.abspath(target)
     if path.exists(target):
         shutil.rmtree(target)
     ckptr = ocp.StandardCheckpointer()

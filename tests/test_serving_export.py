@@ -75,6 +75,19 @@ def test_gln_export_round_trip(gln_run, tmp_path):
     assert sorted(tree) == ["batch_stats", "frozen", "params"]
 
 
+def test_export_and_load_accept_relative_paths(gln_run, tmp_path,
+                                               monkeypatch):
+    """orbax rejects relative paths; serving.py must abspath them.
+    (Regression: the r3 queue's `--run checkpoints/gln_r3` export died
+    with 'Checkpoint path should be absolute'.)"""
+    run, state = gln_run
+    monkeypatch.chdir(tmp_path)
+    os.symlink(run, "run_rel")
+    export_gln_serving("run_rel", "artifact_rel")
+    variables = load_gln_variables("artifact_rel")
+    _trees_equal(variables["params"], state.params)
+
+
 def test_cli_loader_accepts_artifact(gln_run, tmp_path):
     """`gln eval --load <artifact-dir>` path: cli.common.load_gln_variables
     must restore a serving export (and a run dir) template-free."""
