@@ -32,6 +32,12 @@ postprocess parity (full NMS candidate budget, reference crop
 semantics) is unaffected by either mode, and the head bisection runs
 through the same serving numerics it calibrates.
 
+CVPCE_BENCH_WEIGHTS=<serving-export dir> (e.g. the git-tracked
+artifacts/gln_r3) runs the same workload on a TRAINED detector instead:
+no logit widening, no bias bisection — the crop bucket is sized from
+the trained head's real NMS-survivor counts. Off by default only for
+round-over-round comparability with the calibrated-random numbers.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Diagnostics (calibration, bucket, det counts) go to stderr.
 """
@@ -168,19 +174,37 @@ def main():
     rng = jax.random.PRNGKey(0)
     gln = GLN(config=config, train=False)
     gln_vars = gln.init(rng, images[:1])
+    # CVPCE_BENCH_WEIGHTS=<dir>: run the bench on a TRAINED detector
+    # (a serving export from scripts/export_serving.py, e.g.
+    # artifacts/gln_r3) instead of the calibrated random-init head.
+    # Params are canvas-agnostic, so the export loads at either the
+    # TPU (832x1344) or CPU (256x320) bench shape. The committed r3
+    # artifact was trained on raw-[0,1] synthetic scenes — exactly what
+    # the bench feeds — so no preprocessing shim is needed.
+    weights_dir = os.environ.get("CVPCE_BENCH_WEIGHTS", "")
+    if weights_dir:
+        from cvpce_tpu.pipeline.serving import load_gln_variables
+
+        gln_vars = jax.device_put(load_gln_variables(weights_dir))
+        log(f"trained weights: {weights_dir}")
     anchors, level_counts = config.anchors()
     anchors_j = jnp.asarray(anchors)
     sizes = jnp.full((batch, 2), 0, jnp.float32).at[:, 0].set(
         config.canvas_h).at[:, 1].set(config.canvas_w)
 
     # --- calibrate the random head so score/NMS behavior is realistic ---
-    raw_logits = np.asarray(gln.apply(gln_vars, images[:1])["cls_logits"])
-    sigma = float(raw_logits.std())
-    factor = float(np.clip(0.5 / max(sigma, 1e-6), 1.0, 1000.0))
-    gln_vars = _scale_cls_kernel(gln_vars, factor)
-    raw_logits = np.asarray(gln.apply(gln_vars, images[:1])["cls_logits"])
-    log(f"logit spread: raw sigma {sigma:.4f}, kernel x{factor:.1f} -> "
-        f"sigma {raw_logits.std():.3f}")
+    # (skipped entirely for trained weights: their logits ARE the
+    # production distribution)
+    if not weights_dir:
+        raw_logits = np.asarray(
+            gln.apply(gln_vars, images[:1])["cls_logits"])
+        sigma = float(raw_logits.std())
+        factor = float(np.clip(0.5 / max(sigma, 1e-6), 1.0, 1000.0))
+        gln_vars = _scale_cls_kernel(gln_vars, factor)
+        raw_logits = np.asarray(
+            gln.apply(gln_vars, images[:1])["cls_logits"])
+        log(f"logit spread: raw sigma {sigma:.4f}, kernel x{factor:.1f} "
+            f"-> sigma {raw_logits.std():.3f}")
 
     # Detector numerics: int8-static trunk/FPN/towers by default (AP on
     # the trained 3000-step checkpoint: bf16 0.8887 vs int8 0.8882 —
@@ -230,52 +254,63 @@ def main():
 
     gt_mean = float(np.mean(gt_counts))
 
-    def count_dets(shift):
-        cal = _shift_cls_bias(gln_vars, shift)
-        _, scores, valid = detect(cal, images)
-        n_det = np.asarray(
-            (np.asarray(valid) & (np.asarray(scores) > config.score_thresh)
-             ).sum(axis=1))
-        return cal, n_det
+    if weights_dir:
+        # Trained head: no bisection — measure the actual NMS-survivor
+        # counts and size the crop bucket from them.
+        _, t_scores, t_valid = detect(gln_vars, images)
+        det_counts = np.asarray(
+            (np.asarray(t_valid)
+             & (np.asarray(t_scores) > config.score_thresh)).sum(axis=1))
+        log(f"trained-head dets/image at score>{config.score_thresh}: "
+            f"{det_counts.tolist()} (gt mean {gt_mean:.0f})")
+    else:
+        def count_dets(shift):
+            cal = _shift_cls_bias(gln_vars, shift)
+            _, scores, valid = detect(cal, images)
+            n_det = np.asarray(
+                (np.asarray(valid)
+                 & (np.asarray(scores) > config.score_thresh)).sum(axis=1))
+            return cal, n_det
 
-    # The cls bias is shared across FPN levels while per-level logit
-    # distributions differ, so a quantile-derived shift is unreliable —
-    # bisect the shift against the MEASURED NMS-survivor count instead,
-    # targeting the scenes' ground-truth product density.
-    hi = float(SCORE_THRESH_LOGIT - np.quantile(raw_logits, 0.999))
-    # make sure the bracket actually straddles the target: hi must
-    # OVERshoot and lo must undershoot
-    cal, n_hi = count_dets(hi)
-    tries = 0
-    while n_hi.mean() < gt_mean and tries < 6:
-        hi += 2.0
+        # The cls bias is shared across FPN levels while per-level logit
+        # distributions differ, so a quantile-derived shift is
+        # unreliable — bisect the shift against the MEASURED
+        # NMS-survivor count instead, targeting the scenes'
+        # ground-truth product density.
+        hi = float(SCORE_THRESH_LOGIT - np.quantile(raw_logits, 0.999))
+        # make sure the bracket actually straddles the target: hi must
+        # OVERshoot and lo must undershoot
         cal, n_hi = count_dets(hi)
-        tries += 1
-    best = (abs(n_hi.mean() - gt_mean), cal, n_hi)
-    lo = hi - 6.0
-    cal, n_det = count_dets(lo)
-    tries = 0
-    while n_det.mean() > gt_mean and tries < 6:
-        hi, lo = lo, lo - 4.0
+        tries = 0
+        while n_hi.mean() < gt_mean and tries < 6:
+            hi += 2.0
+            cal, n_hi = count_dets(hi)
+            tries += 1
+        best = (abs(n_hi.mean() - gt_mean), cal, n_hi)
+        lo = hi - 6.0
         cal, n_det = count_dets(lo)
-        tries += 1
-    if abs(n_det.mean() - gt_mean) < best[0]:
-        best = (abs(n_det.mean() - gt_mean), cal, n_det)
-    for _ in range(10):
-        mid = (lo + hi) / 2
-        cal, n_det = count_dets(mid)
-        log(f"calibration shift={mid:.3f}: counts = {n_det.tolist()}")
+        tries = 0
+        while n_det.mean() > gt_mean and tries < 6:
+            hi, lo = lo, lo - 4.0
+            cal, n_det = count_dets(lo)
+            tries += 1
         if abs(n_det.mean() - gt_mean) < best[0]:
             best = (abs(n_det.mean() - gt_mean), cal, n_det)
-        if n_det.mean() > gt_mean:
-            hi = mid
-        else:
-            lo = mid
-        if best[0] < 0.15 * gt_mean:
-            break
-    _, gln_vars, det_counts = best
-    log(f"calibrated to mean {det_counts.mean():.0f} dets/image "
-        f"(gt mean {gt_mean:.0f})")
+        for _ in range(10):
+            mid = (lo + hi) / 2
+            cal, n_det = count_dets(mid)
+            log(f"calibration shift={mid:.3f}: counts = {n_det.tolist()}")
+            if abs(n_det.mean() - gt_mean) < best[0]:
+                best = (abs(n_det.mean() - gt_mean), cal, n_det)
+            if n_det.mean() > gt_mean:
+                hi = mid
+            else:
+                lo = mid
+            if best[0] < 0.15 * gt_mean:
+                break
+        _, gln_vars, det_counts = best
+        log(f"calibrated to mean {det_counts.mean():.0f} dets/image "
+            f"(gt mean {gt_mean:.0f})")
 
     # bucket from the MEAN count: the production pipeline re-batches
     # crops host-side (pipeline/proposals.py -> Classifier chunks), so
