@@ -178,15 +178,30 @@ def main():
     # (a serving export from scripts/export_serving.py, e.g.
     # artifacts/gln_r3) instead of the calibrated random-init head.
     # Params are canvas-agnostic, so the export loads at either the
-    # TPU (832x1344) or CPU (256x320) bench shape. The committed r3
-    # artifact was trained on raw-[0,1] synthetic scenes — exactly what
-    # the bench feeds — so no preprocessing shim is needed.
+    # TPU (832x1344) or CPU (256x320) bench shape. The export's
+    # calibration sidecar governs the operating point: serving
+    # threshold (max-F1, pipeline/calibrate.py) sizes the embed
+    # workload, and input_norm decides whether the raw-[0,1] bench
+    # scenes need ImageNet normalization first (never hardcoded —
+    # CLAUDE.md round-3 facts).
     weights_dir = os.environ.get("CVPCE_BENCH_WEIGHTS", "")
+    serve_thresh = None
     if weights_dir:
+        from cvpce_tpu.pipeline.calibrate import (resolve_input_norm,
+                                                  resolve_threshold)
         from cvpce_tpu.pipeline.serving import load_gln_variables
 
         gln_vars = jax.device_put(load_gln_variables(weights_dir))
-        log(f"trained weights: {weights_dir}")
+        serve_thresh = resolve_threshold("auto", weights_dir,
+                                         default=config.score_thresh)
+        input_norm = resolve_input_norm(weights_dir)
+        if input_norm == "imagenet":
+            from cvpce_tpu.data.transforms import normalize_imagenet
+
+            images = jnp.asarray(
+                normalize_imagenet(np.asarray(images, np.float32)))
+        log(f"trained weights: {weights_dir} (serving threshold "
+            f"{serve_thresh:.4f}, input_norm {input_norm})")
     anchors, level_counts = config.anchors()
     anchors_j = jnp.asarray(anchors)
     sizes = jnp.full((batch, 2), 0, jnp.float32).at[:, 0].set(
@@ -255,13 +270,15 @@ def main():
     gt_mean = float(np.mean(gt_counts))
 
     if weights_dir:
-        # Trained head: no bisection — measure the actual NMS-survivor
-        # counts and size the crop bucket from them.
+        # Trained head: no bisection — measure NMS survivors at the
+        # export's CALIBRATED serving threshold (not the 0.05
+        # postprocess floor, which would inflate the embed workload
+        # with dets production never embeds — ADVICE r3).
         _, t_scores, t_valid = detect(gln_vars, images)
         det_counts = np.asarray(
             (np.asarray(t_valid)
-             & (np.asarray(t_scores) > config.score_thresh)).sum(axis=1))
-        log(f"trained-head dets/image at score>{config.score_thresh}: "
+             & (np.asarray(t_scores) > serve_thresh)).sum(axis=1))
+        log(f"trained-head dets/image at score>{serve_thresh:.4f}: "
             f"{det_counts.tolist()} (gt mean {gt_mean:.0f})")
     else:
         def count_dets(shift):

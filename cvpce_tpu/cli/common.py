@@ -59,9 +59,16 @@ def _load_gln_orbax(ckpt_dir: str, config: GLNConfig, variables: Dict
     d = path.normpath(ckpt_dir)
     if (path.exists(path.join(d, SERVING_NAME))
             or path.exists(path.join(d, "checkpoint"))):
-        return load_gln_variables(d)
-    # bare checkpoint node (e.g. .../epoch_87 or .../checkpoint itself)
-    return load_gln_variables(path.dirname(d), name=path.basename(d))
+        restored = load_gln_variables(d)
+    else:
+        # bare checkpoint node (e.g. .../epoch_87 or .../checkpoint itself)
+        restored = load_gln_variables(path.dirname(d),
+                                      name=path.basename(d))
+    # Overlay onto the config-built init template: a checkpoint with a
+    # mismatched head (different class count, canvas-dependent shapes)
+    # fails HERE with a clear shape/key message instead of a cryptic
+    # apply-time error (ADVICE r3).
+    return _merge(variables, restored)
 
 
 def load_embedder(weights: Optional[str], batch_norm: bool = True,
@@ -165,15 +172,23 @@ def _load_macresnet(weights: Optional[str], int8: bool = False,
 
 def _merge(base: Dict, update: Dict) -> Dict:
     """Recursively overlay `update` onto `base`, requiring matching
-    shapes."""
+    shapes and rejecting keys the base template doesn't have — a
+    checkpoint from a different architecture must fail loudly at load
+    time, not silently leave random-init leaves in place (ADVICE r3)."""
     out = dict(base)
     for k, v in update.items():
-        if isinstance(v, dict) and isinstance(out.get(k), dict):
+        if k not in out:
+            raise KeyError(
+                f"checkpoint key {k!r} not in the model's init template "
+                f"(template keys: {sorted(out)}) — wrong checkpoint for "
+                f"this architecture/config?")
+        if isinstance(v, dict) and isinstance(out[k], dict):
             out[k] = _merge(out[k], v)
         else:
-            if k in out and hasattr(out[k], "shape"):
-                assert np.shape(out[k]) == np.shape(v), (
-                    f"shape mismatch for {k}: {np.shape(out[k])} vs "
-                    f"{np.shape(v)}")
+            if hasattr(out[k], "shape"):
+                if np.shape(out[k]) != np.shape(v):
+                    raise ValueError(
+                        f"shape mismatch for {k}: template "
+                        f"{np.shape(out[k])} vs checkpoint {np.shape(v)}")
             out[k] = jnp.asarray(v)
     return out

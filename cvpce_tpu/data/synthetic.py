@@ -341,7 +341,8 @@ class SceneCropSet:
     (TargetDomainDataset semantics, cvpce/datautils.py:241-267)."""
 
     def __init__(self, styles, n: int = 256, canvas_h: int = 832,
-                 canvas_w: int = 1344, seed: int = 3):
+                 canvas_w: int = 1344, seed: int = 3,
+                 domain_shift: float = 0.0, perspective: float = 0.0):
         from . import transforms as T
 
         self.crops = []
@@ -350,7 +351,11 @@ class SceneCropSet:
         while len(self.crops) < n:
             srng = np.random.default_rng((seed, 1, scene_idx))
             img, _, actual, _ = planogram_scene(
-                canvas_h, canvas_w, styles, srng)
+                canvas_h, canvas_w, styles, srng,
+                domain_shift=domain_shift)
+            if perspective > 0:
+                img, actual["boxes"], _ = perspective_scene(
+                    img, actual["boxes"], srng, perspective)
             for x1, y1, x2, y2 in actual["boxes"].astype(int):
                 crop = img[max(0, y1):y2, max(0, x1):x2]
                 if crop.size == 0:
@@ -372,12 +377,15 @@ class PlanogramQuerySet:
     planogram scenes — eval_dihe protocol (gt-crop classification)."""
 
     def __init__(self, styles, n: int = 8, canvas_h: int = 832,
-                 canvas_w: int = 1344, seed: int = 10_000):
+                 canvas_w: int = 1344, seed: int = 10_000,
+                 domain_shift: float = 0.0, perspective: float = 0.0):
         self.styles = styles
         self.n = n
         self.canvas_h = canvas_h
         self.canvas_w = canvas_w
         self.seed = seed
+        self.domain_shift = domain_shift
+        self.perspective = perspective
 
     def __len__(self) -> int:
         return self.n
@@ -385,21 +393,104 @@ class PlanogramQuerySet:
     def __getitem__(self, i: int):
         rng = np.random.default_rng((self.seed, 5, i))
         img, _, actual, _ = planogram_scene(
-            self.canvas_h, self.canvas_w, self.styles, rng)
-        return img, actual["labels"], actual["boxes"]
+            self.canvas_h, self.canvas_w, self.styles, rng,
+            domain_shift=self.domain_shift)
+        boxes = actual["boxes"]
+        if self.perspective > 0:
+            img, boxes, _ = perspective_scene(img, boxes, rng,
+                                              self.perspective)
+        return img, actual["labels"], boxes
+
+
+def apply_domain_shift(img: np.ndarray, rng: np.random.Generator,
+                       strength: float) -> np.ndarray:
+    """Photometric deployment-domain shift for a rendered scene: color
+    cast, gamma, illumination gradient, defocus blur, sensor noise.
+
+    The synthetic analogue of the web-image -> shelf-photo gap the
+    reference's GAN exists to bridge (cvpce/classification_training.py:
+    303-320: generator translates clean catalog renders toward the
+    SKU-110K photo domain). Gallery renders stay clean; scenes pass
+    through this. Geometry is untouched, so detection gt stays exact.
+    `strength` in [0, 1]; 0 is a no-op.
+    """
+    if strength <= 0:
+        return img
+    out = img.astype(np.float32)
+    # per-scene color cast + gain
+    gains = rng.uniform(1 - 0.3 * strength, 1 + 0.3 * strength, 3)
+    out = out * gains.astype(np.float32)
+    # gamma (global exposure curve)
+    gamma = float(rng.uniform(1 - 0.35 * strength, 1 + 0.35 * strength))
+    out = np.clip(out, 1e-4, None) ** gamma
+    # illumination gradient (uneven store lighting)
+    gy = np.linspace(*rng.uniform(1 - 0.25 * strength,
+                                  1 + 0.25 * strength, 2),
+                     out.shape[0], dtype=np.float32)
+    gx = np.linspace(*rng.uniform(1 - 0.25 * strength,
+                                  1 + 0.25 * strength, 2),
+                     out.shape[1], dtype=np.float32)
+    out = out * gy[:, None, None] * gx[None, :, None]
+    # defocus blur
+    sigma = float(rng.uniform(0.3, 1.6) * strength * 2.0)
+    if sigma > 0.2:
+        from . import transforms as T
+
+        cv2 = T._cv2()
+        out = cv2.GaussianBlur(out, (0, 0), sigmaX=sigma, sigmaY=sigma)
+    # sensor noise
+    out = out + rng.normal(0, 0.04 * strength, out.shape).astype(
+        np.float32)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+def perspective_scene(img: np.ndarray, boxes: np.ndarray,
+                      rng: np.random.Generator, strength: float):
+    """Mild random perspective warp of a whole scene + its boxes
+    (camera tilt). Boxes become the axis-aligned hull of their warped
+    corners — exact for the warped content since products are
+    rectangles. Returns (img, boxes, H 3x3)."""
+    h, w = img.shape[:2]
+    if strength <= 0:
+        return img, boxes, np.eye(3, dtype=np.float32)
+    from . import transforms as T
+
+    cv2 = T._cv2()
+    d = 0.04 * strength
+    src = np.asarray([[0, 0], [w, 0], [w, h], [0, h]], np.float32)
+    dst = np.ascontiguousarray(
+        src + rng.uniform(-d, d, (4, 2)) * [w, h], np.float32)
+    H = cv2.getPerspectiveTransform(src, dst)
+    warped = cv2.warpPerspective(
+        img, H, (w, h), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_REPLICATE)
+    if len(boxes):
+        corners = np.stack([boxes[:, [0, 1]], boxes[:, [2, 1]],
+                            boxes[:, [2, 3]], boxes[:, [0, 3]]], axis=1)
+        ones = np.ones((*corners.shape[:2], 1), np.float32)
+        hom = np.concatenate([corners, ones], axis=-1) @ H.T
+        pts = hom[..., :2] / np.clip(hom[..., 2:], 1e-6, None)
+        new = np.concatenate([pts.min(axis=1), pts.max(axis=1)], axis=-1)
+        new[:, [0, 2]] = np.clip(new[:, [0, 2]], 0, w - 1)
+        new[:, [1, 3]] = np.clip(new[:, [1, 3]], 0, h - 1)
+        boxes = new.astype(np.float32)
+    return warped.astype(np.float32), boxes, H.astype(np.float32)
 
 
 def planogram_scene(h: int, w: int, styles, rng: np.random.Generator,
                     violation_rate: float = 0.0,
                     min_shelves: int = 3, max_shelves: int = 5,
-                    fill: float = 0.92):
+                    fill: float = 0.92, domain_shift: float = 0.0):
     """Render a planogram-driven shelf scene.
 
     Returns (img, planogram, actual, expected_compliance) where
-    planogram = {"boxes", "labels"} is the INTENDED layout, actual =
-    {"boxes", "labels"} the rendered ground truth (violations applied:
-    'removed' products absent, 'swapped' rendered as another archetype),
-    and expected_compliance = intact / planned.
+    planogram = {"boxes", "labels", "violations"} is the INTENDED
+    layout ("violations": per-slot "intact"/"removed"/"swapped", for
+    error attribution), actual = {"boxes", "labels"} the rendered
+    ground truth (violations applied: 'removed' products absent,
+    'swapped' rendered as another archetype), and expected_compliance
+    = intact / planned. `domain_shift` > 0 applies the photometric
+    deployment-domain shift (apply_domain_shift) after rendering.
     """
     img = np.empty((h, w, 3), np.float32)
     base = rng.uniform(0.25, 0.5)
@@ -410,7 +501,7 @@ def planogram_scene(h: int, w: int, styles, rng: np.random.Generator,
 
     n_shelves = int(rng.integers(min_shelves, max_shelves + 1))
     edges = np.linspace(0, h, n_shelves + 1).astype(int)
-    plano_boxes, plano_labels = [], []
+    plano_boxes, plano_labels, plano_viol = [], [], []
     act_boxes, act_labels = [], []
     intact = 0
     for s in range(n_shelves):
@@ -436,8 +527,9 @@ def planogram_scene(h: int, w: int, styles, rng: np.random.Generator,
                     act_boxes.append([x, y1, x + pw, y2])
                     act_labels.append(style["label"])
                     intact += 1
+                    plano_viol.append("intact")
                 elif rng.random() < 0.5:
-                    pass  # removed: background shows through
+                    plano_viol.append("removed")  # background shows
                 else:
                     # swapped: another archetype at the same slot
                     other = styles[(pid + 1 + int(rng.integers(
@@ -445,11 +537,14 @@ def planogram_scene(h: int, w: int, styles, rng: np.random.Generator,
                     _paint_product(img, other, x, y1, y2, pw, rng)
                     act_boxes.append([x, y1, x + pw, y2])
                     act_labels.append(other["label"])
+                    plano_viol.append("swapped")
             x += pw + int(rng.integers(2, max(3, w // 80)))
     img = np.clip(img, 0.0, 1.0)
+    img = apply_domain_shift(img, rng, domain_shift)
     planogram = {
         "boxes": np.asarray(plano_boxes, np.float32).reshape(-1, 4),
         "labels": plano_labels,
+        "violations": plano_viol,
     }
     actual = {
         "boxes": np.asarray(act_boxes, np.float32).reshape(-1, 4),

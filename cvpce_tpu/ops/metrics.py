@@ -196,53 +196,7 @@ def calculate_metrics(targets: Sequence, predictions: Sequence,
     curves. Inputs are per-image sequences of (T_i, 4) target boxes,
     (P_i, 4) predicted boxes and (P_i,) confidences (any array-likes).
     """
-    thresholds = list(iou_thresholds)
-    per_image_tp: List[np.ndarray] = []
-    per_image_conf: List[np.ndarray] = []
-    recall_300 = {t: [] for t in thresholds}
-    total_targets = 0
-
+    acc = StreamingMetrics(iou_thresholds)
     for tgt, pred, conf in zip(targets, predictions, confidences):
-        tgt = np.asarray(tgt, dtype=np.float32).reshape(-1, 4)
-        pred = np.asarray(pred, dtype=np.float32).reshape(-1, 4)
-        conf = np.asarray(conf, dtype=np.float32).reshape(-1)
-        tp, conf_sorted = match_detections(tgt, pred, conf, thresholds)
-        per_image_tp.append(tp)
-        per_image_conf.append(conf_sorted)
-        total_targets += len(tgt)
-        for ti, t in enumerate(thresholds):
-            if len(conf_sorted) > 0 and len(tgt) > 0:
-                r300 = np.cumsum(tp[ti][:300])[-1] / len(tgt)
-            else:
-                r300 = 0.0
-            recall_300[t].append(float(r300))
-
-    merged_conf = (np.concatenate(per_image_conf)
-                   if per_image_conf else np.zeros(0, np.float32))
-    sort_idx = np.argsort(-merged_conf, kind="stable")
-    merged_conf = merged_conf[sort_idx]
-
-    res = {}
-    for ti, t in enumerate(thresholds):
-        tp = (np.concatenate([m[ti] for m in per_image_tp])
-              if per_image_tp else np.zeros(0, np.float32))[sort_idx]
-        fp = 1.0 - tp
-        p, r = precision_and_recall(tp, fp, total_targets)
-        f = f_score(p, r)
-        if len(f) > 0:
-            max_idx = int(np.argmax(f))
-            max_f, best_p, best_r = float(f[max_idx]), float(p[max_idx]), float(r[max_idx])
-            conf_thresh = float(merged_conf[max_idx])
-        else:
-            max_f = best_p = best_r = conf_thresh = 0.0
-        ar = (sum(recall_300[t]) / len(recall_300[t])) if recall_300[t] else 0.0
-        res[t] = {
-            "raw": {"p": p, "r": r, "f": f, "c": merged_conf},
-            "f": max_f,
-            "p": best_p,
-            "r": best_r,
-            "c": conf_thresh,
-            "ap": average_precision(p, r),
-            "ar_300": ar,
-        }
-    return res
+        acc.add(tgt, pred, conf)
+    return acc.result()

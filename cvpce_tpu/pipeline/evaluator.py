@@ -41,6 +41,18 @@ class PlanogramComparator:
     def compare(self, expected: Dict, actual: Dict,
                 image: Optional[np.ndarray] = None,
                 classifier=None) -> float:
+        return self.compare_detailed(expected, actual, image,
+                                     classifier)[0]
+
+    def compare_detailed(self, expected: Dict, actual: Dict,
+                         image: Optional[np.ndarray] = None,
+                         classifier=None):
+        """compare(), but also returns the per-expected-slot `found`
+        mask (None when a fallback path produced the score) and the
+        path taken ('ransac' | 'no_detections' | 'no_matching' |
+        'no_homography'). The mask aligns with expected["boxes"] /
+        ["labels"], so callers can attribute compliance errors per
+        violation type (VERDICT r3 #5)."""
         if image is None:
             reproj_threshold = 10.0
         else:
@@ -48,7 +60,8 @@ class PlanogramComparator:
             reproj_threshold = min(h, w) * 0.01
 
         if not len(actual["boxes"]):
-            return 0.0 if len(expected["boxes"]) else 1.0
+            return ((0.0 if len(expected["boxes"]) else 1.0),
+                    None, "no_detections")
 
         ge = expected.get("graph")
         if ge is None:
@@ -56,7 +69,7 @@ class PlanogramComparator:
         ga = self._build_graph(actual["boxes"], actual["labels"])
         matching = self._match(ge, ga)
         if not len(matching):
-            return 0.0
+            return 0.0, None, "no_matching"
 
         found, missing_indices, missing_positions, missing_labels = \
             pg.finalize_via_ransac(
@@ -65,7 +78,8 @@ class PlanogramComparator:
                 reproj_threshold=reproj_threshold,
             )
         if found is None:  # couldn't fit a homography
-            return len(matching) / len(expected["boxes"])
+            return (len(matching) / len(expected["boxes"]),
+                    None, "no_homography")
 
         if classifier is not None and image is not None \
                 and len(missing_positions):
@@ -75,7 +89,7 @@ class PlanogramComparator:
             mp[:, [1, 3]] = mp[:, [1, 3]].clip(0, h)
             valid = (mp[:, 2] - mp[:, 0] > 1) & (mp[:, 3] - mp[:, 1] > 1)
             if not valid.any():
-                return float(found.sum() / len(found))
+                return float(found.sum() / len(found)), found, "ransac"
             missing_indices = missing_indices[valid]
             mp = mp[valid]
             missing_labels = [l for l, v in zip(missing_labels, valid) if v]
@@ -90,7 +104,7 @@ class PlanogramComparator:
                                                   missing_labels, reclass):
                 if exp_label == act_labels[0]:
                     found[idx] = True
-        return float(found.sum() / len(found))
+        return float(found.sum() / len(found)), found, "ransac"
 
 
 class PlanogramEvaluator:
@@ -102,11 +116,16 @@ class PlanogramEvaluator:
         self.comparator = comparator
 
     def evaluate(self, image: np.ndarray, planogram: Dict) -> float:
+        return self.evaluate_detailed(image, planogram)[0]
+
+    def evaluate_detailed(self, image: np.ndarray, planogram: Dict):
+        """(compliance, per-expected-slot found mask or None, path) —
+        see PlanogramComparator.compare_detailed."""
         boxes, crops = \
             self.proposal_generator.generate_proposals_and_images(image)
         classes = [ann[0] for ann in self.classifier.classify(crops)] \
             if len(crops) else []
-        return self.comparator.compare(
+        return self.comparator.compare_detailed(
             planogram, {"boxes": boxes, "labels": classes},
             image, self.classifier,
         )

@@ -100,8 +100,13 @@ def _serving_path(ckpt_dir: str) -> Optional[str]:
 def load_gln_variables(ckpt_dir: str,
                        name: str = "checkpoint") -> Dict[str, Any]:
     """Load GLN inference variables {params, frozen, batch_stats} from
-    either a serving export or a full training-run directory."""
-    serving = _serving_path(ckpt_dir)
+    either a serving export or a full training-run directory.
+
+    The serving-export shortcut applies only for the DEFAULT name: a
+    caller that asked for a specific checkpoint node (e.g. epoch_87)
+    must get that node, not a coexisting serving export in the same
+    directory."""
+    serving = _serving_path(ckpt_dir) if name == "checkpoint" else None
     state = _raw_restore(serving or path.join(ckpt_dir, name))
     missing = [k for k in ("params", "frozen", "batch_stats")
                if k not in state]
@@ -115,9 +120,19 @@ def load_gln_variables(ckpt_dir: str,
 def load_dihe_encoder(ckpt_dir: str,
                       name: str = "embedder_checkpoint"
                       ) -> Tuple[Any, Any]:
-    """Load a DIHE encoder's (params, batch_stats) from either layout."""
-    serving = _serving_path(ckpt_dir)
+    """Load a DIHE encoder's (params, batch_stats) from either layout.
+
+    Rejects GLN trees: a GLN serving export also carries params/
+    batch_stats, so without the 'frozen'-collection check a
+    ``--load-enc artifacts/gln_r3`` would silently merge foreign GLN
+    params into a random-init MACVGG and serve garbage (ADVICE r3)."""
+    serving = (_serving_path(ckpt_dir)
+               if name == "embedder_checkpoint" else None)
     state = _raw_restore(serving or path.join(ckpt_dir, name))
+    if "frozen" in state:
+        raise ValueError(
+            f"{ckpt_dir} looks like a GLN checkpoint (has a 'frozen' "
+            f"collection), not a DIHE encoder")
     if "params" in state:          # serving export
         return state["params"], state["batch_stats"]
     if "emb_params" in state:      # full 3-player train state

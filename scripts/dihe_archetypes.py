@@ -38,15 +38,23 @@ def report(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def make_eval(styles, canvas, n_scenes, batch_size):
-    """Returns eval_fn(enc_fn) -> gt-crop top-1 over held-out scenes."""
+def make_eval(styles, canvas, n_scenes, batch_size,
+              domain_shift=0.0, perspective=0.0):
+    """Returns eval_fn(enc_fn) -> gt-crop top-1 over held-out scenes.
+
+    domain_shift/perspective apply to the SCENES only (the gallery
+    index stays clean catalog renders) — the synthetic analogue of the
+    web-image->shelf-photo gap (cvpce/classification_training.py:
+    303-320)."""
     from cvpce_tpu.data.synthetic import (ArchetypeGallerySet,
                                           PlanogramQuerySet)
     from cvpce_tpu.eval.classification import eval_dihe
 
     gallery_eval = ArchetypeGallerySet(styles, views=1, seed=9)
     queries = PlanogramQuerySet(styles, n=n_scenes, canvas_h=canvas[0],
-                                canvas_w=canvas[1])
+                                canvas_w=canvas[1],
+                                domain_shift=domain_shift,
+                                perspective=perspective)
 
     def eval_fn(enc_fn):
         acc = eval_dihe(enc_fn, 1024, gallery_eval, queries,
@@ -100,6 +108,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--eval-scenes", type=int, default=6)
     ap.add_argument("--disc-crops", type=int, default=192)
+    ap.add_argument("--domain-shift", type=float, default=0.0,
+                    help="photometric deployment-domain shift strength "
+                         "for scenes (gallery stays clean) — the r4 "
+                         "hardened ablation uses 0.7")
+    ap.add_argument("--perspective", type=float, default=0.0,
+                    help="perspective warp strength for scenes")
     ap.add_argument("--out", default="/tmp/dihe_archetypes")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -123,9 +137,13 @@ def main():
     gallery = ArchetypeGallerySet(styles, views=args.views)
     discset = SceneCropSet(styles, n=args.disc_crops,
                            canvas_h=args.canvas[0],
-                           canvas_w=args.canvas[1])
+                           canvas_w=args.canvas[1],
+                           domain_shift=args.domain_shift,
+                           perspective=args.perspective)
     eval_fn = make_eval(styles, args.canvas, args.eval_scenes,
-                        args.batch_size)
+                        args.batch_size,
+                        domain_shift=args.domain_shift,
+                        perspective=args.perspective)
     chance = 1.0 / args.products
 
     # --- baseline: random init (the bar every trained mode must beat) ---
@@ -245,7 +263,9 @@ def main():
         gallery_eval = ArchetypeGallerySet(styles, views=1, seed=9)
         queries = PlanogramQuerySet(styles, n=args.eval_scenes,
                                     canvas_h=args.canvas[0],
-                                    canvas_w=args.canvas[1])
+                                    canvas_w=args.canvas[1],
+                                    domain_shift=args.domain_shift,
+                                    perspective=args.perspective)
         result = train_dihe(gallery, discset, gallery_eval, queries,
                             args.out, gan_state=gan_state,
                             epochs=args.epochs,
