@@ -241,12 +241,29 @@ def _ransac_points(boxes: np.ndarray) -> np.ndarray:
     return np.concatenate([boxes[:, :2], boxes[:, 2:], centres], axis=0)
 
 
+def _ransac_points_cross(boxes: np.ndarray) -> np.ndarray:
+    """Cross variant: center + edge midpoints (top/bottom/left/right)
+    per box — the reference's unused-in-thesis alternative
+    (planograms.py:179-185, "might give a bit better results but not a
+    big enough improvement"). Kept for parity; finalize_via_ransac
+    takes points_fn=_ransac_points_cross to use it."""
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2
+    centres = np.stack([cx, cy], axis=1)
+    tops = np.stack([cx, boxes[:, 1]], axis=1)
+    bottoms = np.stack([cx, boxes[:, 3]], axis=1)
+    lefts = np.stack([boxes[:, 0], cy], axis=1)
+    rights = np.stack([boxes[:, 2], cy], axis=1)
+    return np.concatenate([centres, tops, bottoms, lefts, rights], axis=0)
+
+
 def finalize_via_ransac(
     solution: Set[Tuple], b1, b2, l1: Sequence, l2: Sequence,
     reproj_threshold: float = 10.0, iou_threshold: float = 0.5,
     return_matched_actual: bool = False,
     return_expected_positions: bool = False,
     seed: int = 0,
+    points_fn=None,
 ):
     """Fit expected->actual homography on matched pairs, project all
     expected boxes, greedily match per label by IoU (planograms.py:187-245).
@@ -260,8 +277,9 @@ def finalize_via_ransac(
     nodes1, nodes2 = (list(x) for x in zip(*solution))
     boxes1 = b1[nodes1]
     boxes2 = b2[nodes2]
-    pts1 = _ransac_points(boxes1)
-    pts2 = _ransac_points(boxes2)
+    points_fn = points_fn or _ransac_points
+    pts1 = points_fn(boxes1)
+    pts2 = points_fn(boxes2)
     if len(solution) < 2:  # too few points -> add remaining corners
         pts1 = np.concatenate([pts1, boxes1[:, (2, 1)], boxes1[:, (0, 3)]])
         pts2 = np.concatenate([pts2, boxes2[:, (2, 1)], boxes2[:, (0, 3)]])

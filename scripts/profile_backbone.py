@@ -89,6 +89,8 @@ def main():
     ap.add_argument("--canvas", nargs=2, type=int, default=(832, 1344))
     ap.add_argument("--batches", nargs="+", type=int, default=(4, 8))
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--int8", action="store_true",
+                    help="also profile int8-static per-stage prefixes")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -137,6 +139,42 @@ def main():
         report(batch=batch, stage="TOTAL", ms=round(prefix_ms["c5"], 2),
                gflop=round(cum_gf, 1),
                tflops=round(cum_gf / prefix_ms["c5"], 1))
+
+    # int8-static per-stage prefixes (the bench's default detect
+    # numerics): same taps under calibrated int8 convs. Per-stage
+    # bf16-vs-int8 marginals say where quantization pays on the trunk
+    # (r2 facts: int8 wins on wide convs, loses on thin ones) and what
+    # the bandwidth-bound 1x1-heavy stages gain from halved act bytes.
+    if args.int8:
+        from cvpce_tpu.models.quant import calibrate_act_scales
+
+        batch = args.batches[0]
+        x = jnp.asarray(
+            np.random.default_rng(0).random((batch, h, w, 3), np.float32),
+            jnp.bfloat16)
+        cal_model = ResNet50(norm="frozen", dtype=jnp.bfloat16,
+                             quant="calibrate")
+        cal_vars = {**variables}
+        cal_vars = calibrate_act_scales(cal_model, cal_vars, [x])
+        q_model = ResNet50(norm="frozen", dtype=jnp.bfloat16,
+                           quant="static")
+        gf = stage_gflops(h, w, batch)
+        prefix_ms = {}
+        for tap in taps:
+            def runq(v, x, _tap=tap):
+                feats = q_model.apply(v, x)
+                return jnp.sum(feats[_tap].astype(jnp.float32))
+
+            prefix_ms[tap] = timeit(jax.jit(runq), cal_vars, x,
+                                    iters=args.iters)
+        prev = 0.0
+        for tap, name in zip(taps, names):
+            marg = prefix_ms[tap] - prev
+            prev = prefix_ms[tap]
+            report(batch=batch, variant="int8_static", stage=name,
+                   prefix_ms=round(prefix_ms[tap], 2),
+                   marginal_ms=round(marg, 2),
+                   tflops=round(gf[name] / max(marg, 1e-6), 1))
 
     # FrozenBN in-context cost: same topology without any norm layer.
     # Bounds what folding FBN into conv weights could ever save.

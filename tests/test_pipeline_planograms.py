@@ -101,6 +101,31 @@ class TestFinalize:
         assert found.all()
         assert len(missing_idx) == 0
 
+    def test_cross_points_variant(self):
+        """_ransac_points_cross (cvpce/planograms.py:179-185): center +
+        4 edge midpoints per box, usable via points_fn."""
+        from cvpce_tpu.pipeline.planograms import _ransac_points_cross
+
+        boxes = np.asarray([[0.0, 0.0, 4.0, 2.0]], np.float32)
+        pts = _ransac_points_cross(boxes)
+        assert pts.shape == (5, 2)
+        np.testing.assert_allclose(
+            pts, [[2, 1],          # center
+                  [2, 0],          # top mid
+                  [2, 2],          # bottom mid
+                  [0, 1],          # left mid
+                  [4, 1]])         # right mid
+
+        grid = grid_boxes(2, 3)
+        labels = [f"p{i}" for i in range(6)]
+        solution = {(i, i) for i in range(6)}
+        actual = grid + np.random.default_rng(0).uniform(
+            -0.5, 0.5, grid.shape).astype(np.float32)
+        found, _, _, _ = finalize_via_ransac(
+            solution, grid, actual, labels, labels,
+            reproj_threshold=3.0, points_fn=_ransac_points_cross)
+        assert found is not None and found.all()
+
     def test_missing_product_detected(self):
         boxes = grid_boxes(2, 3)
         labels = [f"p{i}" for i in range(6)]
