@@ -139,6 +139,18 @@ def main():
     ap.add_argument("--scenes", type=int, default=12)
     ap.add_argument("--products", type=int, default=12)
     ap.add_argument("--violation-rate", type=float, default=0.3)
+    ap.add_argument("--domain-shift", type=float, default=0.0,
+                    help="photometric deployment-domain shift on the "
+                         "scenes (gallery stays clean) — r4 hardened "
+                         "ablation; affects detection AND "
+                         "classification, identically across embedder "
+                         "choices")
+    ap.add_argument("--perspective", type=float, default=0.0,
+                    help="camera-tilt perspective warp on scenes; the "
+                         "expected planogram stays unwarped, so the "
+                         "RANSAC homography stage must recover the "
+                         "warp (cv2.findHomography's whole purpose in "
+                         "the reference, cvpce/planograms.py:199)")
     ap.add_argument("--confidence", default="auto",
                     help="detection serving threshold; 'auto' reads "
                          "serving_calibration.json from --gln "
@@ -212,7 +224,13 @@ def main():
         rng = np.random.default_rng((41, i))
         vr = 0.0 if i % 2 == 0 else args.violation_rate
         img, plano, actual, expected = planogram_scene(
-            h, w, styles, rng, violation_rate=vr)
+            h, w, styles, rng, violation_rate=vr,
+            domain_shift=args.domain_shift)
+        if args.perspective > 0:
+            from cvpce_tpu.data.synthetic import perspective_scene
+
+            img, actual["boxes"], _ = perspective_scene(
+                img, actual["boxes"], rng, args.perspective)
 
         # detection quality vs rendered gt
         det = generator.generate_proposals(img)
