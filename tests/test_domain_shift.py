@@ -1,0 +1,125 @@
+"""Round-4 hardened-domain machinery (VERDICT r3 #4/#5):
+photometric domain shift, perspective warp, and per-slot violation
+kinds in the synthetic planogram scenes."""
+import numpy as np
+
+from cvpce_tpu.data.synthetic import (apply_domain_shift,
+                                      perspective_scene, planogram_scene,
+                                      product_styles)
+
+STYLES = product_styles(16)
+
+
+def test_domain_shift_zero_is_noop():
+    img = np.random.default_rng(0).random((32, 48, 3)).astype(np.float32)
+    out = apply_domain_shift(img, np.random.default_rng(1), 0.0)
+    assert out is img
+
+
+def test_domain_shift_deterministic_and_bounded():
+    img = np.random.default_rng(0).random((64, 96, 3)).astype(np.float32)
+    a = apply_domain_shift(img, np.random.default_rng(7), 0.7)
+    b = apply_domain_shift(img, np.random.default_rng(7), 0.7)
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.float32
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    # it actually changes the image
+    assert np.abs(a - img).mean() > 0.01
+
+
+def test_domain_shift_preserves_rng_stream_compat():
+    """Scenes rendered with domain_shift=0 must be bit-identical to
+    pre-r4 renders: the shift draws from the rng only when > 0, so
+    existing seeds (detector training, e2e validation, bench) keep
+    their exact scenes."""
+    r1 = np.random.default_rng((5, 77, 3))
+    img1, p1, a1, e1 = planogram_scene(128, 192, STYLES, r1,
+                                       violation_rate=0.3)
+    r2 = np.random.default_rng((5, 77, 3))
+    img2, p2, a2, e2 = planogram_scene(128, 192, STYLES, r2,
+                                       violation_rate=0.3,
+                                       domain_shift=0.0)
+    np.testing.assert_array_equal(img1, img2)
+    assert e1 == e2
+
+
+def test_violation_kinds_align_with_slots():
+    rng = np.random.default_rng(3)
+    img, plano, actual, expected = planogram_scene(
+        192, 256, STYLES, rng, violation_rate=0.4)
+    kinds = plano["violations"]
+    assert len(kinds) == len(plano["labels"])
+    n_intact = kinds.count("intact")
+    n_removed = kinds.count("removed")
+    n_swapped = kinds.count("swapped")
+    assert n_intact + n_removed + n_swapped == len(kinds)
+    # rendered gt = intact + swapped (removed slots show background)
+    assert len(actual["labels"]) == n_intact + n_swapped
+    assert expected == n_intact / len(kinds)
+    # swapped slots carry a DIFFERENT label in actual than planned
+    ai = 0
+    for kind, lbl in zip(kinds, plano["labels"]):
+        if kind == "removed":
+            continue
+        if kind == "swapped":
+            assert actual["labels"][ai] != lbl
+        else:
+            assert actual["labels"][ai] == lbl
+        ai += 1
+
+
+def test_perspective_scene_identity_at_zero():
+    img = np.random.default_rng(0).random((64, 96, 3)).astype(np.float32)
+    boxes = np.asarray([[4, 4, 20, 30]], np.float32)
+    out, oboxes, H = perspective_scene(img, boxes,
+                                       np.random.default_rng(0), 0.0)
+    assert out is img
+    np.testing.assert_array_equal(H, np.eye(3, dtype=np.float32))
+
+
+def test_perspective_scene_boxes_track_warp():
+    rng = np.random.default_rng(11)
+    img, plano, actual, _ = planogram_scene(192, 256, STYLES, rng)
+    wimg, wboxes, H = perspective_scene(img, actual["boxes"],
+                                        np.random.default_rng(2), 0.6)
+    assert wimg.shape == img.shape
+    assert wboxes.shape == actual["boxes"].shape
+    # well-formed, in-bounds boxes
+    assert (wboxes[:, 2] > wboxes[:, 0]).all()
+    assert (wboxes[:, 3] > wboxes[:, 1]).all()
+    assert wboxes[:, 0].min() >= 0 and wboxes[:, 1].min() >= 0
+    assert wboxes[:, 2].max() <= 256 - 1 and wboxes[:, 3].max() <= 192 - 1
+    # the warped box hull contains the warped product: its center maps
+    # from the original center through H into the hull
+    cx = (actual["boxes"][:, 0] + actual["boxes"][:, 2]) / 2
+    cy = (actual["boxes"][:, 1] + actual["boxes"][:, 3]) / 2
+    hom = np.stack([cx, cy, np.ones_like(cx)], axis=1) @ H.T
+    px, py = hom[:, 0] / hom[:, 2], hom[:, 1] / hom[:, 2]
+    inside = ((px >= wboxes[:, 0] - 1e-3) & (px <= wboxes[:, 2] + 1e-3)
+              & (py >= wboxes[:, 1] - 1e-3) & (py <= wboxes[:, 3] + 1e-3))
+    assert inside.all()
+
+
+def test_comparator_detailed_mask_on_violations():
+    """compare_detailed's found mask aligns with planogram slots: on gt
+    actual inputs, intact+swapped geometry is present but only intact
+    slots carry the planned label, so removed AND swapped slots should
+    come back not-found (the attribution basis of the violation
+    sweep)."""
+    from cvpce_tpu.pipeline.evaluator import PlanogramComparator
+
+    rng = np.random.default_rng(21)
+    img, plano, actual, expected = planogram_scene(
+        256, 384, STYLES, rng, violation_rate=0.35)
+    comp = PlanogramComparator()
+    score, found, path = comp.compare_detailed(plano, actual, img)
+    assert path == "ransac"
+    assert found is not None and len(found) == len(plano["labels"])
+    kinds = plano["violations"]
+    intact_found = np.mean([f for f, k in zip(found, kinds)
+                            if k == "intact"])
+    violated_found = [f for f, k in zip(found, kinds) if k != "intact"]
+    assert intact_found >= 0.8
+    if violated_found:
+        assert np.mean(violated_found) <= 0.2
+    assert abs(score - expected) < 0.2
