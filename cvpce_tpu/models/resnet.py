@@ -54,6 +54,7 @@ class Bottleneck(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     quant: Optional[str] = None  # None | 'static' | 'calibrate' | 'dynamic'
+    conv_bias: bool = False      # biased convs for the folded-FBN twin
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -62,9 +63,10 @@ class Bottleneck(nn.Module):
         def _c(features, kernel, strides=1, name=None):
             if self.quant:
                 return qconv(features, kernel, strides=strides, name=name,
-                             dtype=dt, quant=self.quant)
+                             dtype=dt, quant=self.quant,
+                             use_bias=self.conv_bias)
             return conv(features, kernel, strides=strides, name=name,
-                        dtype=dt)
+                        dtype=dt, use_bias=self.conv_bias)
 
         residual = x
         y = _c(self.features, 1, name="conv1")(x)
@@ -93,11 +95,15 @@ class ResNet50(nn.Module):
     # 7x7 stem stays bf16 — its 3-channel input makes quantization
     # overhead dominate (same finding as MACVGG conv1_1, PERF.md r2)
     quant: Optional[str] = None
+    # biased convs: the serving twin for fold_frozen_bn (norm='none',
+    # conv_bias=True) — the FBN affine lives in kernel scales + biases
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Dict[str, Array]:
         x = x.astype(self.dtype)
-        y = conv(64, 7, strides=2, name="conv1", dtype=self.dtype)(x)
+        y = conv(64, 7, strides=2, name="conv1", dtype=self.dtype,
+                 use_bias=self.conv_bias)(x)
         y = _Norm(64, self.norm, self.train, self.dtype, name="bn1")(y)
         y = nn.relu(y)
         c1 = y
@@ -117,7 +123,66 @@ class ResNet50(nn.Module):
                     train=self.train,
                     dtype=self.dtype,
                     quant=self.quant,
+                    conv_bias=self.conv_bias,
                     name=f"layer{stage_i + 1}_{block_i}",
                 )(y)
             feats[f"c{stage_i + 2}"] = y
         return feats
+
+
+# conv -> FrozenBN pairings inside a Bottleneck (and the stem): the
+# only sites fold_frozen_bn has to know about
+_BOTTLENECK_PAIRS = (("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3"),
+                     ("downsample_conv", "downsample_bn"))
+
+
+def fold_frozen_bn(variables, eps: float = 1e-5):
+    """Fold FrozenBN affines+stats into conv kernels/biases (serving).
+
+    FrozenBN is a per-output-channel affine y = x*inv + shift with
+    inv = scale/sqrt(var+eps), shift = bias - mean*inv
+    (torchvision FrozenBatchNorm2d, cvpce/models/proposals.py:184).
+    Applied after a bias-free conv it commutes exactly into the conv:
+    kernel[..., o] *= inv[o]; bias[o] = shift[o]. Returns variables for
+    the `norm='none', conv_bias=True` twin of a `norm='frozen'` ResNet50
+    — same math, no separate affine pass over the activations. The int8
+    path absorbs `inv` into its per-output-channel weight scales, so the
+    fold is exact there too (models/quant.py:70-73).
+    """
+    import numpy as np
+
+    params = _tree_to_dict(variables["params"])
+    frozen = _tree_to_dict(variables.get("frozen", {}))
+
+    def fold_site(conv_p, fbn):
+        inv = np.asarray(fbn["scale"]) / np.sqrt(
+            np.asarray(fbn["var"]) + eps)
+        shift = np.asarray(fbn["bias"]) - np.asarray(fbn["mean"]) * inv
+        kernel = np.asarray(conv_p["kernel"]) * inv  # last axis = Cout
+        return {"kernel": kernel.astype(np.asarray(conv_p["kernel"]).dtype),
+                "bias": shift.astype(np.float32)}
+
+    out = {}
+    for key, sub in params.items():
+        if key == "conv1" and "bn1" in frozen:  # stem
+            out[key] = fold_site(sub, frozen["bn1"]["fbn"])
+        elif key.startswith("layer") and key in frozen:
+            blk = dict(sub)
+            for cname, bname in _BOTTLENECK_PAIRS:
+                if cname in blk and bname in frozen[key]:
+                    blk[cname] = fold_site(blk[cname],
+                                           frozen[key][bname]["fbn"])
+            out[key] = blk
+        else:
+            out[key] = sub
+    folded = {"params": out}
+    for coll, tree in variables.items():
+        if coll not in ("params", "frozen"):
+            folded[coll] = tree
+    return folded
+
+
+def _tree_to_dict(tree):
+    if hasattr(tree, "items"):
+        return {k: _tree_to_dict(v) for k, v in tree.items()}
+    return tree

@@ -176,9 +176,43 @@ def main():
                    marginal_ms=round(marg, 2),
                    tflops=round(gf[name] / max(marg, 1e-6), 1))
 
+    # Folded-FBN serving twin (models/resnet.py:fold_frozen_bn): exact
+    # kernel/bias absorption of the FrozenBN affine. If XLA already
+    # fuses the affine into the conv epilogue this ties frozen_ms; any
+    # gap is realizable serving win.
+    from cvpce_tpu.models.resnet import fold_frozen_bn
+
+    batch = args.batches[0]
+    x = jnp.asarray(
+        np.random.default_rng(0).random((batch, h, w, 3), np.float32),
+        jnp.bfloat16)
+    folded_vars = fold_frozen_bn(variables)
+    folded_model = ResNet50(norm="none", conv_bias=True,
+                            dtype=jnp.bfloat16)
+    t_folded = timeit(
+        jax.jit(lambda v, x: jnp.sum(
+            folded_model.apply(v, x)["c5"].astype(jnp.float32))),
+        folded_vars, x, iters=args.iters)
+    report(batch=batch, experiment="folded_fbn_bf16",
+           ms=round(t_folded, 2))
+    if args.int8:
+        from cvpce_tpu.models.quant import calibrate_act_scales
+
+        cal_model = ResNet50(norm="frozen", dtype=jnp.bfloat16,
+                             quant="calibrate")
+        cal_vars = calibrate_act_scales(cal_model, {**variables}, [x])
+        folded_q_vars = fold_frozen_bn(cal_vars)
+        folded_q = ResNet50(norm="none", conv_bias=True,
+                            dtype=jnp.bfloat16, quant="static")
+        t_folded_q = timeit(
+            jax.jit(lambda v, x: jnp.sum(
+                folded_q.apply(v, x)["c5"].astype(jnp.float32))),
+            folded_q_vars, x, iters=args.iters)
+        report(batch=batch, experiment="folded_fbn_int8_static",
+               ms=round(t_folded_q, 2))
+
     # FrozenBN in-context cost: same topology without any norm layer.
     # Bounds what folding FBN into conv weights could ever save.
-    batch = args.batches[0]
     x = jnp.asarray(
         np.random.default_rng(0).random((batch, h, w, 3), np.float32),
         jnp.bfloat16)
