@@ -77,6 +77,11 @@ class GLNConfig:
     # Gaussian branch stay in compute_dtype. Same checkpoints; AP parity
     # validated on trained weights in scripts/detector_int8_check.py.
     int8: str = "off"
+    # Serving option: run the backbone with FrozenBN folded into conv
+    # kernels/biases (models/resnet.py:fold_frozen_bn — exact).
+    # Requires variables transformed by fold_gln_backbone; training and
+    # checkpoint layouts are untouched (fold at load time only).
+    fold_backbone_fbn: bool = False
     # Serving option: skip the Gaussian heatmap branch entirely. The
     # detect -> classify -> compliance production path never consumes
     # the heatmap — the reference computes it unconditionally only
@@ -284,7 +289,10 @@ class GLN(nn.Module):
     def __call__(self, images: Array) -> Dict[str, Array]:
         dt = jnp.dtype(self.config.compute_dtype)
         quant = None if self.config.int8 == "off" else self.config.int8
-        feats = ResNet50(norm="frozen", dtype=dt, quant=quant,
+        body_norm = ("none" if self.config.fold_backbone_fbn
+                     else "frozen")
+        feats = ResNet50(norm=body_norm, dtype=dt, quant=quant,
+                         conv_bias=self.config.fold_backbone_fbn,
                          name="body")(images)
         pyramid = FPN(dtype=dt, quant=quant, name="fpn")(
             feats["c3"], feats["c4"], feats["c5"])
@@ -307,6 +315,32 @@ class GLN(nn.Module):
         out["cls_logits"] = cls_logits               # (B, A, K)
         out["bbox_regression"] = bbox_regression     # (B, A, 4)
         return out
+
+
+def fold_gln_backbone(variables):
+    """Fold the backbone's FrozenBN into its conv weights (serving).
+
+    Returns variables for a GLNConfig(fold_backbone_fbn=True) twin of a
+    norm='frozen' GLN: the 'body' params absorb the affines
+    (models/resnet.py:fold_frozen_bn), the 'frozen' collection loses its
+    'body' subtree (dropped entirely if then empty). All other
+    collections (act_scales, batch_stats) pass through unchanged —
+    int8 per-channel weight scales absorb the fold exactly.
+    """
+    from .resnet import fold_frozen_bn
+
+    frozen = variables.get("frozen", {})
+    if "body" not in frozen:
+        return variables
+    folded_body = fold_frozen_bn(
+        {"params": variables["params"]["body"],
+         "frozen": frozen["body"]})
+    out = {k: v for k, v in variables.items() if k != "frozen"}
+    out["params"] = {**variables["params"], "body": folded_body["params"]}
+    frozen_rest = {k: v for k, v in frozen.items() if k != "body"}
+    if frozen_rest:
+        out["frozen"] = frozen_rest
+    return out
 
 
 def postprocess_detections(

@@ -92,3 +92,29 @@ def test_fold_int8_static_close(frozen_setup):
     cos = (np.sum(ref_n * out_n)
            / (np.linalg.norm(ref_n) * np.linalg.norm(out_n)))
     assert cos > 0.99
+
+
+def test_fold_gln_backbone_exact():
+    """GLN-level fold: the fold_backbone_fbn serving twin matches the
+    frozen-BN GLN on raw head outputs (f32, small canvas)."""
+    from cvpce_tpu.models.gln import GLN, GLNConfig, fold_gln_backbone
+
+    cfg = GLNConfig(canvas_h=64, canvas_w=96, compute_dtype="float32")
+    model = GLN(config=cfg)
+    x = jnp.asarray(np.random.default_rng(5).random((1, 64, 96, 3)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = dict(variables)
+    variables["frozen"] = {
+        "body": _randomize_frozen(variables["frozen"]["body"],
+                                  np.random.default_rng(6))}
+    ref = model.apply(variables, x)
+
+    folded_model = GLN(config=GLNConfig(canvas_h=64, canvas_w=96,
+                                        compute_dtype="float32",
+                                        fold_backbone_fbn=True))
+    out = folded_model.apply(fold_gln_backbone(variables), x)
+    for key in ("cls_logits", "bbox_regression", "gaussians"):
+        np.testing.assert_allclose(np.asarray(out[key]),
+                                   np.asarray(ref[key]),
+                                   rtol=5e-4, atol=5e-4)
