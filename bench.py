@@ -245,6 +245,15 @@ def main():
     if os.environ.get("CVPCE_BENCH_GAUSS", "1") in ("0", "off"):
         serve_cfg = dataclasses.replace(serve_cfg, with_gaussians=False)
         log("gaussian branch: GATED (serving option, non-default)")
+    # CVPCE_BENCH_FOLD_FBN=1: serve the backbone with FrozenBN folded
+    # into conv kernels/biases (models/gln.py:fold_gln_backbone, exact).
+    # Non-default until the r4 profile shows it beats XLA's own fusion.
+    if os.environ.get("CVPCE_BENCH_FOLD_FBN", "0") in ("1", "on"):
+        from cvpce_tpu.models.gln import fold_gln_backbone
+
+        serve_cfg = dataclasses.replace(serve_cfg, fold_backbone_fbn=True)
+        gln_vars = fold_gln_backbone(gln_vars)
+        log("backbone FBN: FOLDED (serving option, non-default)")
     if detect_mode == "int8":
         from cvpce_tpu.models.quant import calibrate_act_scales
 
