@@ -369,6 +369,192 @@ def run_search(
     }
 
 
+class FileTrialStore:
+    """flock-backed shared trial store for multi-host searches.
+
+    The reference's Ray Tune head-node state, re-done as a file on a
+    filesystem shared by the participating hosts (the standard TPU-pod
+    NFS layout): every claim/report takes an exclusive `fcntl.flock` on
+    `<path>.lock`, reloads the JSON state, mutates, and atomically
+    replaces it — so hosts coordinate with no server process. Trial ids
+    are allocated under the lock (no duplicates); TPE sampling inside a
+    claim sees every host's finished epochs.
+    """
+
+    def __init__(self, path: str):
+        import os
+
+        self.path = path
+        self.lock_path = path + ".lock"
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    def _load(self) -> List[Trial]:
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            saved = json.load(f)
+        return [Trial(t["trial_id"], t["config"], list(t["results"]),
+                      t["failed"], t["stopped"]) for t in saved["trials"]]
+
+    def _save(self, trials: List[Trial]) -> None:
+        import json
+        import os
+
+        tmp = f"{self.path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"trials": [dataclasses.asdict(t) for t in trials]},
+                      f)
+        os.replace(tmp, self.path)
+
+    def _locked(self):
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def cm():
+            with open(self.lock_path, "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+
+        return cm()
+
+    def claim(self, num_trials: int,
+              sample_config: Callable[[List[Trial]], Dict[str, Any]]
+              ) -> Optional[Trial]:
+        """Atomically allocate the next trial, or None if budget spent."""
+        with self._locked():
+            trials = self._load()
+            if len(trials) >= num_trials:
+                return None
+            trial = Trial(len(trials), sample_config(trials))
+            trials.append(trial)
+            self._save(trials)
+            return trial
+
+    def report(self, trial_id: int, metric: Optional[float],
+               scheduler: Optional["ASHA"] = None,
+               failed: bool = False) -> bool:
+        """Record an epoch result (or failure); returns ASHA's stop
+        decision against the freshest cross-host state."""
+        with self._locked():
+            trials = self._load()
+            trial = next(t for t in trials if t.trial_id == trial_id)
+            if failed:
+                trial.failed = True
+                self._save(trials)
+                return True
+            trial.results.append(float(metric))
+            stop = bool(scheduler and scheduler.should_stop(trial, trials))
+            if stop:
+                trial.stopped = True
+            self._save(trials)
+            return stop
+
+    def snapshot(self) -> List[Trial]:
+        with self._locked():
+            return self._load()
+
+
+def run_search_multihost(
+    train_one_epoch: Callable[..., tuple],
+    space: Dict[str, Domain],
+    state_path: str,
+    num_trials: int = 16,
+    max_epochs: int = 9,
+    grace_period: int = 1,
+    reduction_factor: int = 3,
+    max_failures: int = 2,
+    seed: int = 0,
+    verbose: bool = True,
+    sampler: str = "tpe",
+    devices: Optional[Sequence] = None,
+    host_id: int = 0,
+) -> Dict:
+    """Multi-host `run_search`: trials claimed from a shared FileTrialStore.
+
+    Launch the SAME call on every host (one process per host, its local
+    `devices` as workers, distinct `host_id`); hosts coordinate purely
+    through `state_path` on the shared filesystem — the Ray Tune
+    multi-node analogue (cvpce/hyperopt.py head-node state) without a
+    head node. Each host returns the final cross-host result; re-running
+    with the same `state_path` resumes the search (remaining budget).
+    """
+    scheduler = ASHA(max_epochs, grace_period, reduction_factor)
+    store = FileTrialStore(state_path)
+    rng = np.random.default_rng(seed + 7919 * host_id)
+    tpe = TPESampler(space, seed=seed + 7919 * host_id) \
+        if sampler == "tpe" else None
+    wants_device = "device" in inspect.signature(train_one_epoch).parameters
+
+    def sample_config(trials: List[Trial]):
+        if tpe is None:
+            return {k: d.sample(rng) for k, d in space.items()}
+        observations = [(t.config, t.best) for t in trials
+                        if t.results and not t.failed]
+        return tpe.sample(observations)
+
+    def run_trial(trial: Trial, device) -> None:
+        carry = None
+        failures = 0
+        epoch = 0
+        while epoch < max_epochs:
+            try:
+                if wants_device:
+                    metric, carry = train_one_epoch(trial.config, epoch,
+                                                    carry, device=device)
+                else:
+                    metric, carry = train_one_epoch(trial.config, epoch,
+                                                    carry)
+            except Exception as e:  # noqa: BLE001 — trial-level tolerance
+                failures += 1
+                if verbose:
+                    print(f"[host {host_id} trial {trial.trial_id}] "
+                          f"failure {failures}: {e}")
+                if failures > max_failures:
+                    store.report(trial.trial_id, None, failed=True)
+                    break
+                continue
+            stop = store.report(trial.trial_id, metric, scheduler)
+            if verbose:
+                print(f"[host {host_id} trial {trial.trial_id}] epoch "
+                      f"{epoch}: {metric:.4f} config={trial.config}")
+            if stop:
+                break
+            epoch += 1
+
+    def worker(device) -> None:
+        while True:
+            trial = store.claim(num_trials, sample_config)
+            if trial is None:
+                return
+            run_trial(trial, device)
+
+    if devices is not None and len(devices) > 1:
+        threads = [threading.Thread(target=worker, args=(d,), daemon=True)
+                   for d in devices]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    else:
+        worker(devices[0] if devices else None)
+
+    trials = store.snapshot()
+    ok = [t for t in trials if not t.failed and t.results]
+    best = max(ok, key=lambda t: t.best) if ok else None
+    return {
+        "best_config": best.config if best else None,
+        "best_metric": best.best if best else None,
+        "trials": trials,
+    }
+
+
 def trial_dir_allocator(base_dir: str) -> Callable[[], str]:
     """Thread-safe trial working-directory allocator (trial_001, ...).
 
