@@ -91,6 +91,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--int8", action="store_true",
                     help="also profile int8-static per-stage prefixes")
+    ap.add_argument("--folded-only", action="store_true",
+                    help="skip the per-stage prefixes; run only the "
+                         "folded-FBN + frozen-vs-none experiments")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -112,7 +115,7 @@ def main():
     taps = ["c1", "c2", "c3", "c4", "c5"]
     names = ["stem", "layer1", "layer2", "layer3", "layer4"]
 
-    for batch in args.batches:
+    for batch in ([] if args.folded_only else args.batches):
         x = jnp.asarray(
             np.random.default_rng(0).random((batch, h, w, 3), np.float32),
             jnp.bfloat16)
@@ -145,7 +148,7 @@ def main():
     # bf16-vs-int8 marginals say where quantization pays on the trunk
     # (r2 facts: int8 wins on wide convs, loses on thin ones) and what
     # the bandwidth-bound 1x1-heavy stages gain from halved act bytes.
-    if args.int8:
+    if args.int8 and not args.folded_only:
         from cvpce_tpu.models.quant import calibrate_act_scales
 
         batch = args.batches[0]
@@ -186,7 +189,10 @@ def main():
     x = jnp.asarray(
         np.random.default_rng(0).random((batch, h, w, 3), np.float32),
         jnp.bfloat16)
-    folded_vars = fold_frozen_bn(variables)
+    # device_put: fold_frozen_bn returns numpy leaves, and numpy jit
+    # args re-upload per call — through the tunnel that costs ~2 s/call
+    # and swamps the measurement (r4 first run)
+    folded_vars = jax.device_put(fold_frozen_bn(variables))
     folded_model = ResNet50(norm="none", conv_bias=True,
                             dtype=jnp.bfloat16)
     t_folded = timeit(
@@ -201,7 +207,7 @@ def main():
         cal_model = ResNet50(norm="frozen", dtype=jnp.bfloat16,
                              quant="calibrate")
         cal_vars = calibrate_act_scales(cal_model, {**variables}, [x])
-        folded_q_vars = fold_frozen_bn(cal_vars)
+        folded_q_vars = jax.device_put(fold_frozen_bn(cal_vars))
         folded_q = ResNet50(norm="none", conv_bias=True,
                             dtype=jnp.bfloat16, quant="static")
         t_folded_q = timeit(
