@@ -245,6 +245,13 @@ def main():
     if os.environ.get("CVPCE_BENCH_GAUSS", "1") in ("0", "off"):
         serve_cfg = dataclasses.replace(serve_cfg, with_gaussians=False)
         log("gaussian branch: GATED (serving option, non-default)")
+    # CVPCE_BENCH_IM2COL=1: thin-Cin convs (detector stem + embed
+    # conv1_1) as explicit im2col contractions (layers.Im2colConv,
+    # exact) — avoids XLA's Cin=3 -> 128-lane padding (PERF.md r4).
+    use_im2col = os.environ.get("CVPCE_BENCH_IM2COL", "0") in ("1", "on")
+    if use_im2col:
+        serve_cfg = dataclasses.replace(serve_cfg, stem_im2col=True)
+        log("thin-Cin convs: im2col (serving option, non-default)")
     # CVPCE_BENCH_FOLD_FBN=1: serve the backbone with FrozenBN folded
     # into conv kernels/biases (models/gln.py:fold_gln_backbone, exact).
     # Non-default until the r4 profile shows it beats XLA's own fusion.
@@ -385,7 +392,8 @@ def main():
     bn_vars = bn_model.init(jax.random.PRNGKey(1),
                             jnp.zeros((8, 256, 256, 3), jnp.float32))
     embedder = MACVGG(batch_norm=False, int8_all=use_int8,
-                      int8_static=use_int8, dtype=dtype)
+                      int8_static=use_int8, dtype=dtype,
+                      im2col_conv1=use_im2col)
     emb_vars = fold_bn_variables(bn_vars)
     if use_int8:
         # calibrate activation scales on real crops from one detect

@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from ..ops.image import normalize_tanh_imagenet
 from . import quant
+from . import layers
 from .layers import max_pool
 from .resnet import ResNet50
 
@@ -91,6 +92,10 @@ class MACVGG(nn.Module):
     int8_all: bool = False
     int8_static: bool = False
     int8_calibrate: bool = False
+    # conv1_1 as an explicit im2col contraction (layers.Im2colConv,
+    # same 'f0' params): avoids XLA's Cin=3 lane padding — conv1_1
+    # measured 9.77 ms/512 crops in context vs ~1.2 SoL (PERF.md)
+    im2col_conv1: bool = False
 
     @nn.compact
     def __call__(self, x: Array, n_entries: Optional[int] = None) -> Array:
@@ -126,6 +131,11 @@ class MACVGG(nn.Module):
                                  static_scale=self.int8_static,
                                  calibrate=self.int8_calibrate,
                                  name=f"f{idx}")(x)
+                elif conv_ordinal == 1 and self.im2col_conv1:
+                    x = layers.Im2colConv(ch, kernel_size=3, strides=1,
+                                          padding=1, use_bias=True,
+                                          dtype=self.dtype,
+                                          name=f"f{idx}")(x)
                 else:
                     x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
                                 use_bias=True, dtype=self.dtype,

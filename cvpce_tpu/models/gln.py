@@ -82,6 +82,9 @@ class GLNConfig:
     # Requires variables transformed by fold_gln_backbone; training and
     # checkpoint layouts are untouched (fold at load time only).
     fold_backbone_fbn: bool = False
+    # Serving option: stem as an explicit im2col contraction (same
+    # 'conv1' params; avoids XLA's Cin=3 lane padding — PERF.md r4)
+    stem_im2col: bool = False
     # Serving option: skip the Gaussian heatmap branch entirely. The
     # detect -> classify -> compliance production path never consumes
     # the heatmap — the reference computes it unconditionally only
@@ -293,6 +296,7 @@ class GLN(nn.Module):
                      else "frozen")
         feats = ResNet50(norm=body_norm, dtype=dt, quant=quant,
                          conv_bias=self.config.fold_backbone_fbn,
+                         stem_im2col=self.config.stem_im2col,
                          name="body")(images)
         pyramid = FPN(dtype=dt, quant=quant, name="fpn")(
             feats["c3"], feats["c4"], feats["c5"])

@@ -5,7 +5,7 @@ cvpce_tpu.utils.torch_import to convert torch OIHW checkpoints).
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -75,6 +75,55 @@ def conv(features: int, kernel: int, strides: int = 1, use_bias: bool = False,
         name=name,
         dtype=dtype,
     )
+
+
+class Im2colConv(nn.Module):
+    """Drop-in nn.Conv twin for thin-Cin convs, contracted as im2col.
+
+    XLA lowers a Cin=3 conv by padding the contraction to the 128-lane
+    MXU width — a 42x FLOP waste that puts the ResNet stem at 4.4
+    TFLOP/s and MACVGG conv1_1 at 8x its speed-of-light (PERF.md r4
+    trunk profile). This module builds the im2col matrix with static
+    strided slices + concat (pure data movement) and contracts
+    K = kh*kw*cin on the MXU at real utilization. Param names/shapes
+    match nn.Conv ('kernel' HWIO + optional 'bias'), so checkpoints are
+    unchanged; numerics differ from lax.conv only by bf16 accumulation
+    order (f32 accumulate in both).
+    """
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k, s, p = self.kernel_size, self.strides, self.padding
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, cin, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        x = x.astype(self.dtype)
+        b, h, w, _ = x.shape
+        ho = (h + 2 * p - k) // s + 1
+        wo = (w + 2 * p - k) // s + 1
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        cols = [
+            xp[:, dy:dy + (ho - 1) * s + 1:s,
+               dx:dx + (wo - 1) * s + 1:s, :]
+            for dy in range(k) for dx in range(k)
+        ]
+        patches = jnp.concatenate(cols, axis=-1)   # (b, ho, wo, k*k*cin)
+        wk = kernel.reshape(k * k * cin, self.features).astype(self.dtype)
+        y = jnp.einsum("bhwk,ko->bhwo", patches, wk,
+                       preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias
+        return y.astype(self.dtype)
 
 
 def max_pool(x: Array, window: int, strides: int, padding: int = 0) -> Array:

@@ -98,12 +98,23 @@ class ResNet50(nn.Module):
     # biased convs: the serving twin for fold_frozen_bn (norm='none',
     # conv_bias=True) — the FBN affine lives in kernel scales + biases
     conv_bias: bool = False
+    # stem as an explicit im2col contraction (layers.Im2colConv): same
+    # 'conv1' params, avoids XLA's Cin=3 -> 128-lane padding (the stem
+    # measured 4.74 ms of the 13.14 ms b4 trunk, PERF.md r4)
+    stem_im2col: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Dict[str, Array]:
+        from .layers import Im2colConv
+
         x = x.astype(self.dtype)
-        y = conv(64, 7, strides=2, name="conv1", dtype=self.dtype,
-                 use_bias=self.conv_bias)(x)
+        if self.stem_im2col:
+            y = Im2colConv(64, kernel_size=7, strides=2, padding=3,
+                           use_bias=self.conv_bias, name="conv1",
+                           dtype=self.dtype)(x)
+        else:
+            y = conv(64, 7, strides=2, name="conv1", dtype=self.dtype,
+                     use_bias=self.conv_bias)(x)
         y = _Norm(64, self.norm, self.train, self.dtype, name="bn1")(y)
         y = nn.relu(y)
         c1 = y
