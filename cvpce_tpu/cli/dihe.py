@@ -294,9 +294,14 @@ def visualize_performance(index, weights, images, out, k):
                    "(the reference's --load/--load-algo, "
                    "cvpce/cli/dihe.py:212-213)")
 @click.option("--batch-size", default=4, show_default=True)
+@click.option("--shared-state", default=None, type=click.Path(),
+              help="multi-host search: claim trials from this shared "
+                   "flock-backed store (same command on every host, "
+                   "distinct --host-id)")
+@click.option("--host-id", default=0, show_default=True)
 def hyperopt(source, source_type, only, imgs, annotations, test_imgs,
              test_annotations, out, gan_path, trials, max_epochs, resume,
-             batch_size):
+             batch_size, shared_state, host_id):
     """Hyperparameter search over the reference's DIHE space
     (cvpce/cli/dihe.py:224-228: batchnorm, enc_multiplier, enc_lr) with
     ASHA early stopping."""
@@ -354,10 +359,19 @@ def hyperopt(source, source_type, only, imgs, annotations, test_imgs,
                        hyperopt_report=report, resume=epoch > 0)
         return metrics.get("accuracy", 0.0), carry
 
-    result = run_search(train_one_epoch, DIHE_SPACE, num_trials=trials,
-                        max_epochs=max_epochs, devices=jax.devices(),
-                        state_path=path.join(out, "search_state.json"),
-                        resume=resume)
+    if shared_state:
+        from ..train.hyperopt import run_search_multihost
+
+        result = run_search_multihost(
+            train_one_epoch, DIHE_SPACE, state_path=shared_state,
+            num_trials=trials, max_epochs=max_epochs,
+            devices=jax.devices(), host_id=host_id)
+    else:
+        result = run_search(
+            train_one_epoch, DIHE_SPACE, num_trials=trials,
+            max_epochs=max_epochs, devices=jax.devices(),
+            state_path=path.join(out, "search_state.json"),
+            resume=resume)
     click.echo(json.dumps({"best_config": result["best_config"],
                            "best_metric": result["best_metric"]}, indent=2))
     with open(path.join(out, "hyperopt_result.json"), "w") as f:

@@ -328,8 +328,15 @@ def seek_outliers(imgs, annotations, weights, sigmas):
 @click.option("--batch-size", default=1, show_default=True)
 @click.option("--canvas", nargs=2, type=int, default=(832, 1344),
               show_default=True, help="detector canvas (h w)")
+@click.option("--shared-state", default=None, type=click.Path(),
+              help="multi-host search: claim trials from this shared "
+                   "flock-backed store (run the same command on every "
+                   "host with a distinct --host-id; the Ray Tune "
+                   "multi-node analogue)")
+@click.option("--host-id", default=0, show_default=True)
 def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
-             max_epochs, resume, batch_size, canvas):
+             max_epochs, resume, batch_size, canvas, shared_state,
+             host_id):
     """Hyperparameter search over the reference's GLN space
     (cvpce/cli/gln.py:171-200) with ASHA early stopping and
     exploding-gradient tolerance (max_failures=2, cli/gln.py:215)."""
@@ -394,10 +401,19 @@ def hyperopt(imgs, annotations, evalimgs, evalannotations, out, trials,
 
     from os import path
 
-    result = run_search(train_one_epoch, GLN_SPACE, num_trials=trials,
-                        max_epochs=max_epochs, devices=jax.devices(),
-                        state_path=path.join(out, "search_state.json"),
-                        resume=resume)
+    if shared_state:
+        from ..train.hyperopt import run_search_multihost
+
+        result = run_search_multihost(
+            train_one_epoch, GLN_SPACE, state_path=shared_state,
+            num_trials=trials, max_epochs=max_epochs,
+            devices=jax.devices(), host_id=host_id)
+    else:
+        result = run_search(
+            train_one_epoch, GLN_SPACE, num_trials=trials,
+            max_epochs=max_epochs, devices=jax.devices(),
+            state_path=path.join(out, "search_state.json"),
+            resume=resume)
     click.echo(json.dumps({"best_config": result["best_config"],
                            "best_metric": result["best_metric"]}, indent=2))
     with open(path.join(out, "hyperopt_result.json"), "w") as f:
