@@ -15,9 +15,9 @@ GATE="bash scripts/tpu_gate.sh --"
 
 stamp() { echo "[r4_queue3 $(date -u +%H:%M:%S)] $*"; }
 
-if [[ -f /tmp/r4_queue2c.pid ]]; then
-  stamp "waiting on r4_queue2c pid $(cat /tmp/r4_queue2c.pid)"
-  while kill -0 "$(cat /tmp/r4_queue2c.pid)" 2>/dev/null; do sleep 60; done
+if [[ -f /tmp/r4_queue2b.pid ]]; then
+  stamp "waiting on r4_queue2b pid $(cat /tmp/r4_queue2b.pid)"
+  while kill -0 "$(cat /tmp/r4_queue2b.pid)" 2>/dev/null; do sleep 60; done
 fi
 
 stamp "extended 3-player (36 epochs, hardened gap)"
