@@ -88,19 +88,43 @@ def shelf_scene(h: int, w: int, rng: np.random.Generator,
     return img, np.asarray(boxes, np.float32)
 
 
+def _augment_scene(img: np.ndarray, boxes: np.ndarray,
+                   rng: np.random.Generator, domain_shift: float,
+                   perspective: float):
+    """Deployment-domain augmentation for DETECTOR training sets.
+
+    `domain_shift`/`perspective` are MAX strengths: each scene samples
+    its own strength uniformly in [0, max], so one training run covers
+    the clean in-domain distribution through the fully-shifted one (the
+    r4 shifted e2e collapse was detector-dominated — recall 0.68 vs
+    0.93 in-domain, reports/e2e_shifted_*.log — and the r3 lesson is to
+    train on the served distribution). Box gt tracks the perspective
+    warp exactly (perspective_scene warps boxes with the image)."""
+    if domain_shift > 0:
+        img = apply_domain_shift(img, rng,
+                                 float(rng.uniform(0, domain_shift)))
+    if perspective > 0 and len(boxes):
+        img, boxes, _ = perspective_scene(
+            img, boxes, rng, float(rng.uniform(0, perspective)))
+    return img, boxes
+
+
 class SyntheticShelfDataset:
     """SKU110K-shaped items (image/boxes/image_size/scale/orig_boxes)
     rendered directly at canvas size (scale=1) — drop-in for the training
     loop and evaluate_gln."""
 
     def __init__(self, n: int, canvas_h: int = 832, canvas_w: int = 1344,
-                 seed: int = 0, min_shelves: int = 4, max_shelves: int = 8):
+                 seed: int = 0, min_shelves: int = 4, max_shelves: int = 8,
+                 domain_shift: float = 0.0, perspective: float = 0.0):
         self.n = n
         self.canvas_h = canvas_h
         self.canvas_w = canvas_w
         self.seed = seed
         self.min_shelves = min_shelves
         self.max_shelves = max_shelves
+        self.domain_shift = domain_shift
+        self.perspective = perspective
         self._items: Dict[int, Dict] = {}
 
     def __len__(self) -> int:
@@ -115,6 +139,8 @@ class SyntheticShelfDataset:
         rng = np.random.default_rng((self.seed, i))
         img, boxes = shelf_scene(self.canvas_h, self.canvas_w, rng,
                                  self.min_shelves, self.max_shelves)
+        img, boxes = _augment_scene(img, boxes, rng, self.domain_shift,
+                                    self.perspective)
         return {
             "image": img,
             "boxes": boxes,
@@ -215,7 +241,8 @@ class PlanogramSceneDetectionSet:
     def __init__(self, n: int, canvas_h: int = 832, canvas_w: int = 1344,
                  seed: int = 0, n_styles: int = 12,
                  violation_rate: float = 0.3,
-                 min_shelves: int = 3, max_shelves: int = 5):
+                 min_shelves: int = 3, max_shelves: int = 5,
+                 domain_shift: float = 0.0, perspective: float = 0.0):
         self.n = n
         self.canvas_h = canvas_h
         self.canvas_w = canvas_w
@@ -224,6 +251,8 @@ class PlanogramSceneDetectionSet:
         self.violation_rate = violation_rate
         self.min_shelves = min_shelves
         self.max_shelves = max_shelves
+        self.domain_shift = domain_shift
+        self.perspective = perspective
         self._items: Dict[int, Dict] = {}
 
     def __len__(self) -> int:
@@ -242,6 +271,8 @@ class PlanogramSceneDetectionSet:
             violation_rate=vr, min_shelves=self.min_shelves,
             max_shelves=self.max_shelves)
         boxes = actual["boxes"]
+        img, boxes = _augment_scene(img, boxes, rng, self.domain_shift,
+                                    self.perspective)
         if not len(boxes):
             boxes = np.asarray([[0, 0, 8, 8]], np.float32)
         return {

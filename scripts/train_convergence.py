@@ -42,6 +42,20 @@ def main():
                          "a round-robin mix — the production detector "
                          "must see the planogram distribution "
                          "(r2 e2e: precision 0.46 without it)")
+    ap.add_argument("--domain-shift", type=float, default=0.0,
+                    help="MAX photometric deployment-shift strength; "
+                         "each training/eval scene samples its own "
+                         "strength in [0, max] so one run covers clean "
+                         "through fully-shifted (the r4 shifted e2e "
+                         "collapse was detector-dominated: recall 0.68 "
+                         "vs 0.93 in-domain)")
+    ap.add_argument("--perspective", type=float, default=0.0,
+                    help="MAX perspective-warp strength, sampled per "
+                         "scene like --domain-shift; box gt tracks the "
+                         "warp")
+    ap.add_argument("--plano-styles", type=int, default=12,
+                    help="archetype count for planogram scenes (the "
+                         "shifted e2e validation serves 64)")
     ap.add_argument("--det-per-img", type=int, default=256,
                     help="detections_per_img (production parity: 1000, "
                          "cvpce/models/proposals.py:164-165)")
@@ -84,7 +98,10 @@ def main():
     platform = jax.devices()[0].platform
     print(json.dumps({"platform": platform, "canvas": [h, w],
                       "scene_mix": args.scene_mix,
-                      "det_per_img": args.det_per_img}), flush=True)
+                      "det_per_img": args.det_per_img,
+                      "domain_shift": args.domain_shift,
+                      "perspective": args.perspective,
+                      "plano_styles": args.plano_styles}), flush=True)
 
     model_cfg = GLNConfig(
         canvas_h=h, canvas_w=w, max_nms_candidates=args.nms_candidates,
@@ -98,7 +115,9 @@ def main():
     def shelf_set(n, seed):
         return SyntheticShelfDataset(n, h, w, seed=seed,
                                      min_shelves=shelves[0],
-                                     max_shelves=shelves[1])
+                                     max_shelves=shelves[1],
+                                     domain_shift=args.domain_shift,
+                                     perspective=args.perspective)
 
     def plano_set(n, seed):
         # match the e2e validation's planogram_scene defaults (3..5
@@ -106,7 +125,10 @@ def main():
         # pipeline serves, including the tall-product 3-shelf layouts
         return PlanogramSceneDetectionSet(
             n, h, w, seed=seed, min_shelves=3,
-            max_shelves=min(shelves[1], 5))
+            max_shelves=min(shelves[1], 5),
+            n_styles=args.plano_styles,
+            domain_shift=args.domain_shift,
+            perspective=args.perspective)
 
     if args.scene_mix == "shelf":
         trainset = shelf_set(args.train_n, 0)

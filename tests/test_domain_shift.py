@@ -100,6 +100,41 @@ def test_perspective_scene_boxes_track_warp():
     assert inside.all()
 
 
+def test_detection_sets_ranged_augmentation():
+    """Detector-training sets accept MAX-strength domain_shift/
+    perspective and sample per-scene strength in [0, max] (round-5
+    candidate #2: shift-augmented detector training). Defaults stay
+    bit-identical to pre-augmentation renders so existing seeds keep
+    their exact scenes."""
+    from cvpce_tpu.data.synthetic import (PlanogramSceneDetectionSet,
+                                          SyntheticShelfDataset)
+
+    for cls in (SyntheticShelfDataset, PlanogramSceneDetectionSet):
+        clean = cls(4, 128, 192, seed=3)
+        auged = cls(4, 128, 192, seed=3, domain_shift=0.7,
+                    perspective=0.5)
+        auged2 = cls(4, 128, 192, seed=3, domain_shift=0.7,
+                     perspective=0.5)
+        legacy = cls(4, 128, 192, seed=3)
+        for i in range(4):
+            c, a, a2, l = clean[i], auged[i], auged2[i], legacy[i]
+            # zero-strength default == legacy render, bit-identical
+            np.testing.assert_array_equal(c["image"], l["image"])
+            np.testing.assert_array_equal(c["boxes"], l["boxes"])
+            # augmentation is deterministic in (seed, i)
+            np.testing.assert_array_equal(a["image"], a2["image"])
+            np.testing.assert_array_equal(a["boxes"], a2["boxes"])
+            # it actually changes the image
+            assert np.abs(a["image"] - c["image"]).mean() > 0.003
+            # boxes stay well-formed and in-canvas after the warp
+            b = a["boxes"]
+            assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+            assert b[:, 0].min() >= 0 and b[:, 1].min() >= 0
+            assert b[:, 2].max() <= 192 - 1 and b[:, 3].max() <= 128 - 1
+            assert a["image"].dtype == np.float32
+            assert a["image"].min() >= 0.0 and a["image"].max() <= 1.0
+
+
 def test_comparator_detailed_mask_on_violations():
     """compare_detailed's found mask aligns with planogram slots: on gt
     actual inputs, intact+swapped geometry is present but only intact
