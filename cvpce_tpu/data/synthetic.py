@@ -366,6 +366,46 @@ class ArchetypeGallerySet:
                 self.hierarchies[pid], self.styles[pid]["label"])
 
 
+class AugmentedGallerySet:
+    """Index-time gallery augmentation: wrap ANY gallery sample_set with
+    (emb_img, gen_img, hierarchy, annotation) item semantics
+    (gp_annotated / ArchetypeGallerySet) into one with `factor` variants
+    per item — variant 0 the original, variants 1.. the emb image passed
+    through apply_domain_shift at per-variant strength ~ U[0, strength].
+
+    Serving-side robustness lever needing NO retraining: the kNN gallery
+    index is multi-entry by construction (pipeline/classifier.py
+    annotations list), so indexing shifted variants moves some gallery
+    entry near each shifted scene crop — the synthetic analogue of the
+    reference indexing every available catalog view per product
+    (cvpce/production.py:29-38 iterates the whole sample_set;
+    GroceryProducts ships multiple views). Images are tanh-scale in and
+    out (gallery-set contract)."""
+
+    def __init__(self, base, factor: int = 4, strength: float = 0.7,
+                 seed: int = 0):
+        assert factor >= 1
+        self.base = base
+        self.factor = factor
+        self.strength = strength
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.base) * self.factor
+
+    def __getitem__(self, i: int):
+        j, v = divmod(i, self.factor)
+        item = self.base[j]
+        if v == 0:
+            return item
+        emb, rest = item[0], item[1:]
+        rng = np.random.default_rng((self.seed, 913, j, v))
+        img01 = np.clip((emb + 1.0) * 0.5, 0.0, 1.0).astype(np.float32)
+        img01 = apply_domain_shift(
+            img01, rng, float(rng.uniform(0, self.strength)))
+        return (img01 * 2.0 - 1.0, *rest)
+
+
 class SceneCropSet:
     """[0,1] 256x256 crops of rendered planogram scenes at their gt
     boxes — the synthetic target domain for the GAN discriminator

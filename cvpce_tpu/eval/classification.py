@@ -19,12 +19,14 @@ from ..pipeline.classifier import Classifier
 def eval_dihe(encoder_fn, embedding_size: int, sampleset, testset,
               batch_size: int = 32, k: Sequence[int] = (1,),
               load_index: str | None = None,
-              verbose: bool = True, mesh=None) -> Dict[int, float]:
+              verbose: bool = True, mesh=None,
+              index_average: int = 1) -> Dict[int, float]:
     if verbose:
         print("Preparing classifier...")
     classifier = Classifier(encoder_fn, embedding_size, sampleset,
                             batch_size=batch_size, k=max(k),
-                            load=load_index, mesh=mesh)
+                            load=load_index, mesh=mesh,
+                            index_average=index_average)
 
     total = 0
     correct = {knn: 0 for knn in k}

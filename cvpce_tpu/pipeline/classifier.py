@@ -24,7 +24,7 @@ class Classifier:
                  embedding_size: int,
                  sample_set=None, batch_size: int = 32, k: int = 1,
                  load: Optional[str] = None, verbose: bool = False,
-                 mesh=None):
+                 mesh=None, index_average: int = 1):
         """
         Args:
           encoder_fn: jitted (B, 256, 256, 3) [-1,1]-scaled -> (B, D)
@@ -36,11 +36,19 @@ class Classifier:
             ops/knn_sharded.py (per-shard top-k + all_gather merge,
             result identical to the single-device path). Scales index
             HBM with chip count for pod-size galleries.
+          index_average: >1 collapses each run of `index_average`
+            CONSECUTIVE sample_set items (which must share an
+            annotation, e.g. data/synthetic.py:AugmentedGallerySet
+            variants) into ONE index entry holding their mean
+            embedding — the product's expected embedding under the
+            variant distribution. Cosine search renormalizes, so the
+            entry is the normalized centroid direction.
         """
         self.encoder_fn = encoder_fn
         self.embedding_size = embedding_size
         self.batch_size = batch_size
         self.k = k
+        self.index_average = index_average
         if load is not None:
             self.embedding, self.annotations, scales = self._load_index(
                 load)
@@ -100,6 +108,17 @@ class Classifier:
         embedding = (np.concatenate(embeddings)
                      if embeddings else
                      np.zeros((0, self.embedding_size), np.float32))
+        f = self.index_average
+        if f > 1 and len(embedding):
+            assert len(embedding) % f == 0, \
+                f"index_average={f} must divide gallery size {len(embedding)}"
+            groups = [annotations[i * f:(i + 1) * f]
+                      for i in range(len(annotations) // f)]
+            assert all(len(set(map(str, g))) == 1 for g in groups), \
+                "index_average groups must share one annotation"
+            embedding = embedding.reshape(-1, f,
+                                          embedding.shape[-1]).mean(1)
+            annotations = annotations[::f]
         return embedding, annotations
 
     def _embed(self, imgs: np.ndarray) -> np.ndarray:

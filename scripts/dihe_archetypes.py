@@ -97,8 +97,16 @@ def warmed_encoder(params, stats, gallery, batch_size):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["baseline", "triplet", "3player",
-                                       "both"], default="both")
+    ap.add_argument("--mode", choices=["baseline", "triplet", "augtriplet",
+                                       "3player", "both"], default="both",
+                    help="augtriplet = triplet with ANCHORS passed "
+                         "through apply_domain_shift at per-sample "
+                         "strength U[0, --domain-shift]: the classical "
+                         "no-GAN augmentation baseline the 3-player "
+                         "machinery must beat to earn its complexity "
+                         "(the reference's GAN exists to synthesize "
+                         "exactly this domain translation, "
+                         "cvpce/classification_training.py:303-320)")
     ap.add_argument("--products", type=int, default=12)
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--canvas", nargs=2, type=int, default=(832, 1344))
@@ -160,7 +168,9 @@ def main():
 
     results = {"baseline": base_top1}
 
-    if args.mode in ("triplet", "both"):
+    if args.mode in ("triplet", "augtriplet", "both"):
+        tri_stage = "augtriplet" if args.mode == "augtriplet" else "triplet"
+        aug_anchors = args.mode == "augtriplet"
         # pure-triplet ablation: clean-anchor supervised training through
         # the real 3-player step with the GAN players frozen is NOT what
         # we want to isolate; instead reuse the dihe loop but swap the
@@ -209,8 +219,18 @@ def main():
                     nid = int(rng.integers(args.products))
                     if nid != pid:
                         break
-                a_imgs.append(gallery[pid * args.views + int(
-                    rng.integers(1, args.views))][0])
+                a = gallery[pid * args.views + int(
+                    rng.integers(1, args.views))][0]
+                if aug_anchors and args.domain_shift > 0:
+                    from cvpce_tpu.data.synthetic import apply_domain_shift
+
+                    a01 = np.clip((a + 1.0) * 0.5, 0.0,
+                                  1.0).astype(np.float32)
+                    a01 = apply_domain_shift(
+                        a01, rng,
+                        float(rng.uniform(0, args.domain_shift)))
+                    a = a01 * 2.0 - 1.0
+                a_imgs.append(a)
                 p_imgs.append(gallery[pid * args.views][0])
                 n_imgs.append(gallery[nid * args.views][0])
                 ph.append(gallery.hierarchies[pid])
@@ -221,11 +241,12 @@ def main():
                 jnp.asarray(np.stack(p_imgs)),
                 jnp.asarray(np.stack(n_imgs)), sim)
             if it % 20 == 0:
-                report(stage="triplet", step=it, loss=round(float(loss), 4))
+                report(stage=tri_stage, step=it,
+                       loss=round(float(loss), 4))
         tri_top1 = eval_fn(warmed_encoder(params, stats, gallery,
                                           args.batch_size))
-        results["triplet"] = tri_top1
-        report(stage="triplet", gt_crop_top1=round(tri_top1, 4),
+        results[tri_stage] = tri_top1
+        report(stage=tri_stage, gt_crop_top1=round(tri_top1, 4),
                improved_vs_baseline=bool(tri_top1 >= base_top1),
                wall=round(time.time() - t0, 1))
 
@@ -239,9 +260,9 @@ def main():
                                       jax.random.PRNGKey(1))
         state_t = template.replace(emb_params=jax.device_get(params),
                                    emb_stats=jax.device_get(stats))
-        CheckpointManager(args.out + "_triplet",
+        CheckpointManager(args.out + "_" + tri_stage,
                           name="embedder_checkpoint").save_rotating(
-            state_t, {"mode": "triplet",
+            state_t, {"mode": tri_stage,
                       "gt_crop_top1": float(tri_top1)})
 
     if args.mode in ("3player", "both"):

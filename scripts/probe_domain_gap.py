@@ -37,6 +37,17 @@ def main():
     ap.add_argument("--canvas", nargs=2, type=int, default=(416, 672))
     ap.add_argument("--warm-iters", type=int, default=6)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--gallery-augment", type=int, default=1,
+                    help="index-time augmentation factor: each gallery "
+                         "entry is indexed with N-1 extra domain-shifted "
+                         "variants (AugmentedGallerySet) — serving-side "
+                         "robustness, no retraining")
+    ap.add_argument("--gallery-strength", type=float, default=0.7,
+                    help="MAX shift strength for the indexed variants")
+    ap.add_argument("--gallery-average", action="store_true",
+                    help="collapse the augmented variants into one mean "
+                         "embedding per product (expected embedding "
+                         "under the shift) instead of multi-entry")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +62,12 @@ def main():
     styles = product_styles(args.products)
     gallery = ArchetypeGallerySet(styles, views=2)
     gallery_eval = ArchetypeGallerySet(styles, views=1, seed=9)
+    if args.gallery_augment > 1:
+        from cvpce_tpu.data.synthetic import AugmentedGallerySet
+
+        gallery_eval = AugmentedGallerySet(
+            gallery_eval, factor=args.gallery_augment,
+            strength=args.gallery_strength)
 
     model = MACVGG(batch_norm=True, train=False)
     model_t = MACVGG(batch_norm=True, train=True)
@@ -85,7 +102,9 @@ def main():
         t0 = time.time()
         acc = eval_dihe(enc_fn, 1024, gallery_eval, queries,
                         batch_size=args.batch_size, k=(1, 5),
-                        verbose=False)
+                        verbose=False,
+                        index_average=(args.gallery_augment
+                                       if args.gallery_average else 1))
         report(shift=shift,
                perspective=args.perspective if shift > 0 else 0.0,
                top1=round(float(acc[1]), 4), top5=round(float(acc[5]), 4),

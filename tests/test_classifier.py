@@ -56,6 +56,44 @@ class TestClassifier:
         assert [r[0] for r in res] == ["prod3", "prod0", "prod6"]
         assert all(len(r) == 2 for r in res)
 
+    def test_index_average_collapses_variant_groups(self):
+        """index_average=F collapses F consecutive same-annotation items
+        into one mean-embedding entry (expected embedding under a
+        variant distribution, e.g. AugmentedGallerySet)."""
+        gallery = _GallerySet(n=4)
+
+        class Variants:
+            def __len__(self):
+                return 3 * len(gallery)
+
+            def __getitem__(self, i):
+                j, v = divmod(i, 3)
+                img, gen, hier, ann = gallery[j]
+                out = np.clip(img + 0.05 * v, 0.0, 1.0).astype(np.float32)
+                return out, gen, hier, ann
+
+        clf = Classifier(_stub_encoder(), 16, Variants(), batch_size=4,
+                         index_average=3)
+        assert clf.embedding.shape == (4, 16)
+        assert clf.annotations == [f"prod{i}" for i in range(4)]
+        # each entry is the raw mean of its variants' embeddings
+        flat = Classifier(_stub_encoder(), 16, Variants(), batch_size=4)
+        np.testing.assert_allclose(
+            clf.embedding, flat.embedding.reshape(4, 3, 16).mean(1),
+            rtol=1e-5)
+        # mismatched annotations inside a group must be rejected
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                img, gen, hier, _ = gallery[0]
+                return img, gen, hier, f"prod{i}"
+
+        with pytest.raises(AssertionError):
+            Classifier(_stub_encoder(), 16, Bad(), batch_size=4,
+                       index_average=2)
+
     def test_partial_batch_padding(self):
         gallery = _GallerySet(n=5)
         clf = Classifier(_stub_encoder(), 16, gallery, batch_size=4, k=1)

@@ -135,6 +135,32 @@ def test_detection_sets_ranged_augmentation():
             assert a["image"].min() >= 0.0 and a["image"].max() <= 1.0
 
 
+def test_augmented_gallery_set():
+    """Index-time gallery augmentation wrapper: variant 0 passes the base
+    item through untouched, variants >0 are deterministic domain-shifted
+    copies in tanh scale with the annotation preserved — so the kNN index
+    gains shifted entries without retraining."""
+    from cvpce_tpu.data.synthetic import (ArchetypeGallerySet,
+                                          AugmentedGallerySet)
+
+    base = ArchetypeGallerySet(STYLES, views=1, seed=9)
+    aug = AugmentedGallerySet(base, factor=3, strength=0.7)
+    aug2 = AugmentedGallerySet(base, factor=3, strength=0.7)
+    assert len(aug) == 3 * len(base)
+    for j in (0, 5):
+        orig = base[j]
+        v0 = aug[3 * j]
+        np.testing.assert_array_equal(v0[0], orig[0])
+        for v in (1, 2):
+            a, b = aug[3 * j + v], aug2[3 * j + v]
+            np.testing.assert_array_equal(a[0], b[0])
+            assert a[3] == orig[3]  # annotation preserved
+            assert a[0].min() >= -1.0 and a[0].max() <= 1.0
+            assert np.abs(a[0] - orig[0]).mean() > 0.003
+        # the two variants differ from each other
+        assert np.abs(aug[3 * j + 1][0] - aug[3 * j + 2][0]).mean() > 1e-3
+
+
 def test_comparator_detailed_mask_on_violations():
     """compare_detailed's found mask aligns with planogram slots: on gt
     actual inputs, intact+swapped geometry is present but only intact
