@@ -95,6 +95,7 @@ def train_proposal_generator(
     eval_threshold: float = 0.75,
     resume: bool = False, use_mesh: bool = True,
     load_torch: Optional[str] = None,
+    load_orbax: Optional[str] = None,
     hyperopt_report=None, seed: int = 0,
     steps_per_call: int = 1,
     loader_cls: type = PrefetchLoader,
@@ -139,6 +140,15 @@ def train_proposal_generator(
         from ..cli.common import load_gln_variables
 
         variables = load_gln_variables(load_torch, model_cfg)
+    elif load_orbax is not None:
+        # warm-start from a serving export or training-run dir (params/
+        # frozen/batch_stats; optimizer state starts fresh, like the
+        # reference's --load, proposals_training.py:180-189) — the
+        # fine-tune path: e.g. shift-augmented adaptation of an
+        # already-converged detector at a fraction of from-scratch cost
+        from ..pipeline.serving import load_gln_variables as _load_serving
+
+        variables = dict(_load_serving(load_orbax))
 
     anchors, _ = model_cfg.anchors()
     state, optimizer = gln_train.init_train_state(

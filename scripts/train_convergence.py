@@ -70,6 +70,13 @@ def main():
                     help="after training, pick the max-F1 serving "
                          "threshold on held-out planogram scenes and "
                          "save serving_calibration.json into --out")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start params/frozen/batch_stats from a "
+                         "serving export or training-run dir (e.g. "
+                         "artifacts/gln_r3); optimizer state starts "
+                         "fresh — the fine-tune path for adapting a "
+                         "converged detector (e.g. shift augmentation) "
+                         "at a fraction of from-scratch cost")
     ap.add_argument("--resume", action="store_true",
                     help="continue from --out's rotating checkpoint "
                          "(epoch counter resumes; raise --epochs past "
@@ -164,7 +171,7 @@ def main():
             epochs=args.epochs, checkpoint_interval=ckpt_interval,
             eval_interval=1, eval_threshold=0.5, use_mesh=False,
             steps_per_call=args.steps_per_call, hyperopt_report=report,
-            resume=args.resume, seed=0)
+            resume=args.resume, load_orbax=args.init_from, seed=0)
     except TargetReached:
         print(json.dumps({"early_stop": True}), flush=True)
 
