@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import click
 import numpy as np
@@ -73,7 +74,12 @@ def build_assistant(canvas):
 @click.option("--evalimgs", default=None)
 @click.option("--evalannotations", default=None)
 @click.option("--out", required=True, type=click.Path())
-@click.option("--load", default=None, help="torch checkpoint to import")
+@click.option("--load", default=None,
+              help="starting point: a torch checkpoint FILE to import, "
+                   "or an orbax DIRECTORY (serving export / training "
+                   "run) to warm-start from — the reference's --load "
+                   "accepts its own checkpoints too "
+                   "(proposals_training.py:180-189)")
 @click.option("--resume", is_flag=True)
 @click.option("--tanh", is_flag=True)
 @click.option("--method", type=click.Choice(["normal", "kant", "simple"]),
@@ -129,10 +135,13 @@ def train(imgs, annotations, evalimgs, evalannotations, out, load, resume,
         from ..data.grain_loader import GrainLoader
 
         kwargs["loader_cls"] = GrainLoader
+    if load is not None and os.path.isdir(load):
+        kwargs["load_orbax"] = load
+    else:
+        kwargs["load_torch"] = load
     train_proposal_generator(
         dataset, evalset, out, model_cfg=model_cfg, train_cfg=train_cfg,
-        batch_size=batch_size, epochs=epochs, resume=resume,
-        load_torch=load, **kwargs)
+        batch_size=batch_size, epochs=epochs, resume=resume, **kwargs)
 
 
 @gln.command("eval")
