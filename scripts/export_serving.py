@@ -27,6 +27,12 @@ def main():
                     help="training-run directory (rotating checkpoint)")
     ap.add_argument("--out", required=True,
                     help="artifact directory to write (git-tracked)")
+    ap.add_argument("--name", default=None,
+                    help="checkpoint node inside --run to export "
+                         "(default: the rotating final — 'checkpoint' "
+                         "for gln, 'embedder_checkpoint' for dihe; pass "
+                         "e.g. epoch_11 to export a BestKeeper node "
+                         "when the final epoch is not the best)")
     args = ap.parse_args()
 
     import jax
@@ -36,10 +42,11 @@ def main():
     from cvpce_tpu.pipeline.serving import (export_dihe_serving,
                                             export_gln_serving)
 
+    kw = {"name": args.name} if args.name else {}
     if args.kind == "gln":
-        out = export_gln_serving(args.run, args.out)
+        out = export_gln_serving(args.run, args.out, **kw)
     else:
-        out = export_dihe_serving(args.run, args.out)
+        out = export_dihe_serving(args.run, args.out, **kw)
 
     size = 0
     for root, _, files in os.walk(out):
