@@ -236,6 +236,15 @@ def main():
     log(f"detect numerics: {detect_mode}")
     import dataclasses
 
+    # CVPCE_BENCH_NMS_CANDIDATES=<n>: shrink the NMS candidate budget
+    # below the full-parity 5120 (serving option, non-default; Pareto
+    # row — recall cost measured by scripts/pareto_study.py)
+    nms_budget = int(os.environ.get("CVPCE_BENCH_NMS_CANDIDATES", "0"))
+    if nms_budget:
+        config = dataclasses.replace(config, max_nms_candidates=nms_budget)
+        log(f"NMS candidate budget: {nms_budget} (serving option, "
+            f"non-default)")
+
     serve_cfg = config
     # CVPCE_BENCH_GAUSS=0: serving option that gates the Gaussian
     # heatmap branch (GLNConfig.with_gaussians) — nothing in the
@@ -375,6 +384,20 @@ def main():
         embed_mode = "bf16" if raw in ("0", "bf16") else "int8"
     log(f"embed numerics: {embed_mode}")
     use_int8 = embed_mode == "int8"
+    # --- structural Pareto knobs (VERDICT r4 #4): labeled NON-parity
+    # serving options. Accuracy deltas for each are measured on the
+    # synthetic validation by scripts/pareto_study.py; PERF.md holds the
+    # img/s-vs-accuracy table. Defaults keep the parity workload.
+    # CVPCE_BENCH_CROP_RES=<n>: classification crop resolution (parity:
+    # 256, the reference's SCALED_IMAGE_SIZE); embed FLOPs scale ~n^2.
+    crop_res = int(os.environ.get("CVPCE_BENCH_CROP_RES", "256"))
+    if crop_res != 256:
+        log(f"crop resolution: {crop_res} (serving option, non-default)")
+    # CVPCE_BENCH_EMBED_MODEL=macresnet: MACResNet-1536 (ResNet-50 c3+c4
+    # MAC) instead of MACVGG-256 — deeper trunk, much better MXU shapes.
+    embed_model = os.environ.get("CVPCE_BENCH_EMBED_MODEL", "macvgg")
+    if embed_model != "macvgg":
+        log(f"embed model: {embed_model} (serving option, non-default)")
     if embed_chunk is None:
         # measured best chunks for 512 crops: int8-static 87.6 ms at 128
         # vs 89.6 at 256 (profile_embed_layers_static); bf16 137.5 at
@@ -388,13 +411,23 @@ def main():
     # the unfused BN bandwidth passes — PERF.md r2 layer profile), then
     # int8-static quantization on the folded weights.
     dtype = jnp.bfloat16 if platform != "cpu" else jnp.float32
-    bn_model = MACVGG(batch_norm=True)
-    bn_vars = bn_model.init(jax.random.PRNGKey(1),
-                            jnp.zeros((8, 256, 256, 3), jnp.float32))
-    embedder = MACVGG(batch_norm=False, int8_all=use_int8,
-                      int8_static=use_int8, dtype=dtype,
-                      im2col_conv1=use_im2col)
-    emb_vars = fold_bn_variables(bn_vars)
+    if embed_model == "macresnet":
+        from cvpce_tpu.models.embedders import MACResNet
+
+        embedder = MACResNet(dtype=dtype,
+                             quant="static" if use_int8 else None)
+        emb_vars = MACResNet(dtype=dtype).init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((8, crop_res, crop_res, 3), jnp.float32))
+    else:
+        bn_model = MACVGG(batch_norm=True)
+        bn_vars = bn_model.init(jax.random.PRNGKey(1),
+                                jnp.zeros((8, crop_res, crop_res, 3),
+                                          jnp.float32))
+        embedder = MACVGG(batch_norm=False, int8_all=use_int8,
+                          int8_static=use_int8, dtype=dtype,
+                          im2col_conv1=use_im2col)
+        emb_vars = fold_bn_variables(bn_vars)
     if use_int8:
         # calibrate activation scales on real crops from one detect
         # pass (production calibrates on the gallery at index build);
@@ -405,12 +438,18 @@ def main():
         @jax.jit
         def crops_of(imgs, boxes):
             top_boxes = boxes[:, :crops_per_image]
-            crops = jax.vmap(crop_resize_square_mxu)(imgs, top_boxes)
+            crops = jax.vmap(
+                lambda im, bx: crop_resize_square_mxu(
+                    im, bx, out_size=crop_res))(imgs, top_boxes)
             return scale_to_tanh(crops).reshape(
-                batch * crops_per_image, 256, 256, 3)
+                batch * crops_per_image, crop_res, crop_res, 3)
 
         boxes_cal, _, _ = detect(gln_vars, images)
-        cal_model = embedder.clone(int8_static=False, int8_calibrate=True)
+        if embed_model == "macresnet":
+            cal_model = embedder.clone(quant="calibrate")
+        else:
+            cal_model = embedder.clone(int8_static=False,
+                                       int8_calibrate=True)
         emb_vars = calibrate_int8_scales(
             cal_model, emb_vars,
             [crops_of(images, boxes_cal)[:embed_chunk]])
@@ -422,11 +461,13 @@ def main():
                                      sizes, config)
         top_boxes = res["boxes"][:, :crops_per_image]
 
-        crops = jax.vmap(crop_resize_square_mxu)(imgs, top_boxes)
+        crops = jax.vmap(
+            lambda im, bx: crop_resize_square_mxu(
+                im, bx, out_size=crop_res))(imgs, top_boxes)
         crops = scale_to_tanh(crops).reshape(
-            batch * crops_per_image, 256, 256, 3)
+            batch * crops_per_image, crop_res, crop_res, 3)
         # chunk the embed stage to bound peak HBM
-        chunked = crops.reshape(-1, embed_chunk, 256, 256, 3)
+        chunked = crops.reshape(-1, embed_chunk, crop_res, crop_res, 3)
         embs = jax.lax.map(lambda c: embedder.apply(emb_vars, c), chunked)
         return res["boxes"], res["scores"], embs
 

@@ -106,6 +106,14 @@ def _augment_scene(img: np.ndarray, boxes: np.ndarray,
     if perspective > 0 and len(boxes):
         img, boxes, _ = perspective_scene(
             img, boxes, rng, float(rng.uniform(0, perspective)))
+        # a product hugging the canvas edge can warp fully outside; its
+        # clipped box collapses to ~zero area but would stay in the
+        # valid-gt mask — an unmatchable gt (label noise in training, a
+        # recall ceiling in eval). Detection sets are single-class, so
+        # dropping rows here desyncs nothing (ADVICE r4).
+        keep = ((boxes[:, 2] - boxes[:, 0] >= 2.0)
+                & (boxes[:, 3] - boxes[:, 1] >= 2.0))
+        boxes = boxes[keep]
     return img, boxes
 
 
@@ -165,13 +173,29 @@ class SyntheticShelfDataset:
 # give known expected compliance for the evaluator to recover.
 # ---------------------------------------------------------------------------
 
-def product_styles(k: int, seed: int = 0):
+def product_styles(k: int, seed: int = 0, texture: bool = False):
     """k product archetypes with well-separated hues. Deterministic in
-    (k, seed). Style fields mirror shelf_scene's product recipe so a
-    detector trained on shelf_scene transfers."""
+    (k, seed, texture). Style fields mirror shelf_scene's product recipe
+    so a detector trained on shelf_scene transfers.
+
+    texture=True additionally gives each archetype a deterministic
+    luminance PATTERN (stripe/checker kind, spatial frequency in cycles
+    per product, phase) rendered in normalized product coordinates —
+    identity carried by a channel that survives photometric domain
+    shift (color casts scale all of a pattern's stripes together; only
+    defocus blur attenuates it, and the frequencies are capped so the
+    worst-case shift-0.7 blur keeps periods >5 px in-scene). This is
+    the texture-carried-identity task variant (NEXT.md r5 #1): on the
+    color-carried task no shift-invariant encoder can beat random init,
+    because discarding the cast-perturbed channel discards identity
+    itself — with texture identity, shift invariance and discrimination
+    are compatible, which is the regime the reference's DIHE training
+    targets (real packaging is texture/graphic-carried,
+    /root/reference/cvpce/classification_training.py:303-320)."""
     import colorsys
 
     rng = np.random.default_rng(seed)
+    kinds = ("hstripe", "vstripe", "diag", "checker")
     styles = []
     for i in range(k):
         hue = (i / k + rng.uniform(0, 0.5 / k)) % 1.0
@@ -182,15 +206,49 @@ def product_styles(k: int, seed: int = 0):
         band = np.asarray(
             colorsys.hsv_to_rgb(band_hue, float(rng.uniform(0.4, 0.9)),
                                 float(rng.uniform(0.3, 0.9))), np.float32)
-        styles.append({
+        style = {
             "label": f"prod_{i:02d}",
             "color": color,
             "band_color": band,
             "band_frac": float(rng.uniform(0.2, 0.45)),
             "width_frac": float(rng.uniform(0.025, 0.06)),
             "height_frac": float(rng.uniform(0.7, 0.92)),
-        })
+        }
+        if texture:
+            style["texture"] = {
+                "kind": kinds[i % len(kinds)],
+                "freq": 2.0 + (i // len(kinds)) % 5
+                + float(rng.uniform(0.0, 0.4)),
+                "phase": float(rng.uniform(0.0, 1.0)),
+                "contrast": float(rng.uniform(0.3, 0.55)),
+            }
+        styles.append(style)
     return styles
+
+
+def _texture_field(tex, ph: int, pw: int) -> np.ndarray:
+    """(ph, pw) luminance-modulation field in [1 - contrast, 1] for a
+    texture spec, in normalized product coordinates (so the gallery
+    render and every in-scene instance show the same pattern regardless
+    of pixel size)."""
+    yy = (np.arange(ph, dtype=np.float32) + 0.5) / max(1, ph)
+    xx = (np.arange(pw, dtype=np.float32) + 0.5) / max(1, pw)
+    f, phase = tex["freq"], tex["phase"]
+    two_pi = 2.0 * np.pi
+    if tex["kind"] == "hstripe":
+        wave = np.sign(np.sin(two_pi * (f * yy + phase)))[:, None]
+        wave = np.broadcast_to(wave, (ph, pw))
+    elif tex["kind"] == "vstripe":
+        wave = np.sign(np.sin(two_pi * (f * xx + phase)))[None, :]
+        wave = np.broadcast_to(wave, (ph, pw))
+    elif tex["kind"] == "diag":
+        u = 0.5 * yy[:, None] + 0.5 * xx[None, :]
+        wave = np.sign(np.sin(two_pi * (f * u + phase)))
+    else:  # checker
+        sy = np.sign(np.sin(two_pi * (f * yy + phase)))
+        sx = np.sign(np.sin(two_pi * (f * xx + phase)))
+        wave = sy[:, None] * sx[None, :]
+    return (1.0 - tex["contrast"] * 0.5 * (wave + 1.0)).astype(np.float32)
 
 
 def _paint_product(img: np.ndarray, style, x: int, y1: int, y2: int,
@@ -211,6 +269,12 @@ def _paint_product(img: np.ndarray, style, x: int, y1: int, y2: int,
     band_h = max(1, ph // 5)
     img[band_y:band_y + band_h, x + b:x + pw - b] = np.clip(
         style["band_color"] * gain, 0.05, 1.0)
+    tex = style.get("texture")
+    if tex is not None:
+        # archetype-identifying luminance pattern over the whole face
+        # (base, border and band alike — multiplicative, so it survives
+        # color casts that scale all stripes together)
+        img[y1:y2, x:x + pw] *= _texture_field(tex, ph, pw)[..., None]
 
 
 def product_gallery_image(style, height: int = 192) -> np.ndarray:

@@ -50,6 +50,14 @@ class Classifier:
         self.k = k
         self.index_average = index_average
         if load is not None:
+            if index_average > 1:
+                import warnings
+
+                # averaging happens at build time only; a flat saved
+                # index restores per-variant entries as-is (ADVICE r4)
+                warnings.warn(
+                    "index_average>1 is ignored when loading a saved "
+                    "index; it only applies in build_index", stacklevel=2)
             self.embedding, self.annotations, scales = self._load_index(
                 load)
             if scales is not None and hasattr(encoder_fn, "set_scales"):

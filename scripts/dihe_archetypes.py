@@ -98,7 +98,8 @@ def warmed_encoder(params, stats, gallery, batch_size):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["baseline", "triplet", "augtriplet",
-                                       "3player", "both"], default="both",
+                                       "shiftpos", "3player", "both"],
+                    default="both",
                     help="augtriplet = triplet with ANCHORS passed "
                          "through apply_domain_shift at per-sample "
                          "strength U[0, --domain-shift]: the classical "
@@ -106,7 +107,31 @@ def main():
                          "machinery must beat to earn its complexity "
                          "(the reference's GAN exists to synthesize "
                          "exactly this domain translation, "
-                         "cvpce/classification_training.py:303-320)")
+                         "cvpce/classification_training.py:303-320). "
+                         "shiftpos = shifted-POSITIVES triplet (VERDICT "
+                         "r4 task-2 lever (a)): anchor stays the clean "
+                         "canonical render (the index side), positive "
+                         "is a SHIFTED other view of the same product "
+                         "and the negative a SHIFTED view of another — "
+                         "the encoder is trained on exactly the "
+                         "clean-index-vs-shifted-query correspondence "
+                         "it must serve")
+    ap.add_argument("--texture", action="store_true",
+                    help="texture-carried archetype identity "
+                         "(product_styles(texture=True), NEXT.md r5 "
+                         "#1): on the color-carried task, shift "
+                         "invariance and identity are structurally "
+                         "opposed (the shift perturbs the identity "
+                         "channel itself), so no trained arm can beat "
+                         "random init; with texture identity they are "
+                         "compatible — the regime real packaging and "
+                         "the reference's DIHE training live in")
+    ap.add_argument("--bn-adapt", action="store_true",
+                    help="additionally evaluate every arm with BN "
+                         "stats warmed on a 50/50 mix of clean gallery "
+                         "renders and SHIFTED scene crops (lever (c): "
+                         "serving-side BN-statistics adaptation, no "
+                         "retraining)")
     ap.add_argument("--products", type=int, default=12)
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--canvas", nargs=2, type=int, default=(832, 1344))
@@ -133,15 +158,17 @@ def main():
     import jax.numpy as jnp
 
     from cvpce_tpu.data.synthetic import (ArchetypeGallerySet,
-                                          SceneCropSet, product_styles)
+                                          SceneCropSet, apply_domain_shift,
+                                          product_styles)
     from cvpce_tpu.models.embedders import MACVGG
     from cvpce_tpu.train.dihe import DIHETrainConfig
     from cvpce_tpu.train.loops import pretrain_gan, train_dihe
 
     platform = jax.devices()[0].platform
-    report(platform=platform, mode=args.mode, products=args.products)
+    report(platform=platform, mode=args.mode, products=args.products,
+           texture=args.texture)
 
-    styles = product_styles(args.products)
+    styles = product_styles(args.products, texture=args.texture)
     gallery = ArchetypeGallerySet(styles, views=args.views)
     discset = SceneCropSet(styles, n=args.disc_crops,
                            canvas_h=args.canvas[0],
@@ -154,23 +181,58 @@ def main():
                         perspective=args.perspective)
     chance = 1.0 / args.products
 
+    class _WarmList:
+        """gallery-shaped adapter over a list of tanh images (for
+        warmed_encoder's `gallery[i][0]` indexing)."""
+
+        def __init__(self, imgs):
+            self.imgs = imgs
+
+        def __len__(self):
+            return len(self.imgs)
+
+        def __getitem__(self, i):
+            return (self.imgs[i],)
+
+    bn_mix = None
+    if args.bn_adapt:
+        # 50/50 clean gallery + shifted deployment crops (discset items
+        # are [0,1]; gallery items are tanh) — lever (c)
+        bn_mix = _WarmList(
+            [gallery[i][0] for i in range(len(gallery))]
+            + [discset[i] * 2.0 - 1.0 for i in range(len(discset))])
+
+    def eval_arm(stage, params, stats, results):
+        top1 = eval_fn(warmed_encoder(params, stats, gallery,
+                                      args.batch_size))
+        results[stage] = top1
+        extra = {}
+        if bn_mix is not None:
+            adapt = eval_fn(warmed_encoder(params, stats, bn_mix,
+                                           args.batch_size))
+            results[stage + "+bnadapt"] = adapt
+            extra["gt_crop_top1_bnadapt"] = round(adapt, 4)
+        report(stage=stage, gt_crop_top1=round(top1, 4), **extra)
+        return top1
+
     # --- baseline: random init (the bar every trained mode must beat) ---
     model = MACVGG(batch_norm=True, train=False)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 256, 256, 3)))
-    base_top1 = eval_fn(warmed_encoder(variables["params"],
-                                       variables["batch_stats"],
-                                       gallery, args.batch_size))
-    report(stage="baseline", gt_crop_top1=round(base_top1, 4),
-           chance=round(chance, 4))
+    results = {}
+    base_top1 = eval_arm("baseline", variables["params"],
+                         variables["batch_stats"], results)
+    report(stage="baseline", chance=round(chance, 4))
     if args.mode == "baseline":
+        report(name="SUMMARY", chance=round(chance, 4),
+               **{k: round(v, 4) for k, v in results.items()})
         return
 
-    results = {"baseline": base_top1}
-
-    if args.mode in ("triplet", "augtriplet", "both"):
-        tri_stage = "augtriplet" if args.mode == "augtriplet" else "triplet"
+    if args.mode in ("triplet", "augtriplet", "shiftpos", "both"):
+        tri_stage = (args.mode if args.mode in ("augtriplet", "shiftpos")
+                     else "triplet")
         aug_anchors = args.mode == "augtriplet"
+        shift_pos = args.mode == "shiftpos"
         # pure-triplet ablation: clean-anchor supervised training through
         # the real 3-player step with the GAN players frozen is NOT what
         # we want to isolate; instead reuse the dihe loop but swap the
@@ -207,6 +269,15 @@ def main():
                     new_opt, loss)
 
         rng = np.random.default_rng(0)
+
+        def shifted(img):
+            """tanh gallery render -> photometrically shifted copy at
+            per-sample strength U[0, max] (the deployment corruption)."""
+            a01 = np.clip((img + 1.0) * 0.5, 0.0, 1.0).astype(np.float32)
+            a01 = apply_domain_shift(
+                a01, rng, float(rng.uniform(0, args.domain_shift)))
+            return a01 * 2.0 - 1.0
+
         steps = args.epochs * max(1, len(gallery) // (2 * b))
         t0 = time.time()
         for it in range(steps):
@@ -219,20 +290,25 @@ def main():
                     nid = int(rng.integers(args.products))
                     if nid != pid:
                         break
-                a = gallery[pid * args.views + int(
-                    rng.integers(1, args.views))][0]
-                if aug_anchors and args.domain_shift > 0:
-                    from cvpce_tpu.data.synthetic import apply_domain_shift
-
-                    a01 = np.clip((a + 1.0) * 0.5, 0.0,
-                                  1.0).astype(np.float32)
-                    a01 = apply_domain_shift(
-                        a01, rng,
-                        float(rng.uniform(0, args.domain_shift)))
-                    a = a01 * 2.0 - 1.0
+                j = int(rng.integers(1, args.views))
+                if shift_pos and args.domain_shift > 0:
+                    # clean-index-vs-shifted-query correspondence:
+                    # anchor is the canonical render (what the serving
+                    # index holds), positive/negative are shifted views
+                    # (what the serving queries look like)
+                    a = gallery[pid * args.views][0]
+                    p = shifted(gallery[pid * args.views + j][0])
+                    n = shifted(gallery[nid * args.views + int(
+                        rng.integers(1, args.views))][0])
+                else:
+                    a = gallery[pid * args.views + j][0]
+                    if aug_anchors and args.domain_shift > 0:
+                        a = shifted(a)
+                    p = gallery[pid * args.views][0]
+                    n = gallery[nid * args.views][0]
                 a_imgs.append(a)
-                p_imgs.append(gallery[pid * args.views][0])
-                n_imgs.append(gallery[nid * args.views][0])
+                p_imgs.append(p)
+                n_imgs.append(n)
                 ph.append(gallery.hierarchies[pid])
                 nh.append(gallery.hierarchies[nid])
             sim = jnp.asarray(hierarchy_similarity(ph, nh))
@@ -243,10 +319,8 @@ def main():
             if it % 20 == 0:
                 report(stage=tri_stage, step=it,
                        loss=round(float(loss), 4))
-        tri_top1 = eval_fn(warmed_encoder(params, stats, gallery,
-                                          args.batch_size))
-        results[tri_stage] = tri_top1
-        report(stage=tri_stage, gt_crop_top1=round(tri_top1, 4),
+        tri_top1 = eval_arm(tri_stage, params, stats, results)
+        report(stage=tri_stage,
                improved_vs_baseline=bool(tri_top1 >= base_top1),
                wall=round(time.time() - t0, 1))
 
@@ -294,18 +368,17 @@ def main():
                             checkpoint_interval=500, eval_interval=2,
                             train_cfg=cfg, use_mesh=False)
         state = result["state"]
-        p3_top1 = eval_fn(warmed_encoder(state.emb_params,
-                                         state.emb_stats, gallery,
-                                         args.batch_size))
-        results["3player"] = p3_top1
-        report(stage="3player", gt_crop_top1=round(p3_top1, 4),
+        p3_top1 = eval_arm("3player", state.emb_params, state.emb_stats,
+                           results)
+        report(stage="3player",
                improved_vs_baseline=bool(p3_top1 >= base_top1),
                wall=round(time.time() - t0, 1))
 
     report(name="SUMMARY", chance=round(chance, 4),
            **{k: round(v, 4) for k, v in results.items()},
            trained_beats_random=bool(
-               max([v for k, v in results.items() if k != "baseline"],
+               max([v for k, v in results.items()
+                    if not k.startswith("baseline")],
                    default=0.0) >= base_top1))
 
 

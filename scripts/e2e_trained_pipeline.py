@@ -91,17 +91,14 @@ class GallerySet:
         return self.items[i]
 
 
-def load_dihe_embedder(dihe_dir: str, gallery):
-    """Restore the DIHE run's encoder, warm BN stats on gallery renders,
-    fold BN, return a jitted EmbedFn (mirrors scripts/dihe_convergence.py
-    eval-mode recipe)."""
+def _warm_and_fold(params, stats, warm_imgs):
+    """Warm BN stats on `warm_imgs` (tanh-scale), fold BN, return a
+    jitted EmbedFn (mirrors scripts/dihe_convergence.py eval-mode
+    recipe)."""
     import jax
     import jax.numpy as jnp
 
     from cvpce_tpu.models.embedders import MACVGG, EmbedFn, fold_bn_variables
-    from cvpce_tpu.pipeline.serving import load_dihe_encoder
-
-    params, stats = load_dihe_encoder(dihe_dir)
 
     model_t = MACVGG(batch_norm=True, train=True)
 
@@ -113,8 +110,8 @@ def load_dihe_embedder(dihe_dir: str, gallery):
 
     rng = np.random.default_rng(7)
     for _ in range(40):
-        idx = rng.integers(0, len(gallery), 8)
-        batch = np.stack([gallery[int(i)][0] for i in idx])
+        idx = rng.integers(0, len(warm_imgs), 8)
+        batch = np.stack([warm_imgs[int(i)] for i in idx])
         stats = warm(stats, jnp.asarray(batch))
 
     variables = fold_bn_variables(
@@ -124,10 +121,44 @@ def load_dihe_embedder(dihe_dir: str, gallery):
     return fn, model.embedding_size
 
 
-def load_random_embedder():
-    from cvpce_tpu.cli.common import load_embedder
+def build_arm_embedder(base: str, dihe_default: str, warm_clean,
+                       warm_shifted):
+    """Resolve an arm's encoder.
 
-    return load_embedder(None, batch_norm=False)
+    base: 'random' (BN-free random-init MACVGG — the r2..r4 comparison
+    arm), 'randombn' (random init, BN warmed + folded — the ablation
+    scripts' baseline recipe), or 'dihe[:path]' (trained encoder,
+    BN warmed + folded). warm_* are lists of tanh-scale 256x256 images;
+    `warm_shifted` is used instead of `warm_clean` when the arm carries
+    the '+bnshift' option (BN-statistics adaptation on deployment-domain
+    crops — VERDICT r4 task-2 lever (c); the unlabeled shifted crops are
+    the same data the reference's discriminator consumes,
+    /root/reference/cvpce/classification_training.py:491-502)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvpce_tpu.models.embedders import MACVGG
+
+    name, _, opts = base.partition("+")
+    opts = set(opts.split("+")) if opts else set()
+    warm_imgs = warm_shifted if "bnshift" in opts else warm_clean
+
+    if name == "random" and "bnshift" not in opts:
+        from cvpce_tpu.cli.common import load_embedder
+
+        return load_embedder(None, batch_norm=False)
+    if name in ("random", "randombn"):
+        model = MACVGG(batch_norm=True, train=False)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 256, 3)))
+        return _warm_and_fold(variables["params"],
+                              variables["batch_stats"], warm_imgs)
+    assert name.startswith("dihe"), f"unknown arm base {name!r}"
+    from cvpce_tpu.pipeline.serving import load_dihe_encoder
+
+    path = name[5:] if name.startswith("dihe:") else dihe_default
+    params, stats = load_dihe_encoder(path)
+    return _warm_and_fold(params, stats, warm_imgs)
 
 
 def main():
@@ -136,8 +167,24 @@ def main():
     ap.add_argument("--dihe", default="/root/repo/checkpoints/dihe_r3")
     ap.add_argument("--embedder", choices=["dihe", "random"],
                     default="dihe")
+    ap.add_argument("--arms", default=None,
+                    help="comma-separated embedder arms sharing ONE "
+                         "detection pass per scene (the full matrix in "
+                         "~1.3x the cost of a single row): each arm is "
+                         "base[+opt...], base in {random, randombn, "
+                         "dihe:<ckpt-dir>}, opts in {cc (scene-"
+                         "statistics color correction of the classify "
+                         "crops, pipeline/colorcorrect.py), bnshift "
+                         "(BN stats adapted on shifted scene crops "
+                         "instead of clean gallery renders)}. "
+                         "Overrides --embedder/--dihe.")
     ap.add_argument("--scenes", type=int, default=12)
     ap.add_argument("--products", type=int, default=12)
+    ap.add_argument("--texture", action="store_true",
+                    help="texture-carried archetype identity "
+                         "(product_styles(texture=True)) — the task "
+                         "variant where identity survives photometric "
+                         "shift")
     ap.add_argument("--violation-rate", type=float, default=0.3)
     ap.add_argument("--domain-shift", type=float, default=0.0,
                     help="photometric deployment-domain shift on the "
@@ -178,8 +225,7 @@ def main():
     from cvpce_tpu.pipeline.calibrate import (resolve_input_norm,
                                               resolve_threshold)
     from cvpce_tpu.pipeline.classifier import Classifier
-    from cvpce_tpu.pipeline.evaluator import (PlanogramComparator,
-                                              PlanogramEvaluator)
+    from cvpce_tpu.pipeline.evaluator import PlanogramComparator
     from cvpce_tpu.pipeline.proposals import ProposalGenerator
     from cvpce_tpu.pipeline.serving import load_gln_variables
 
@@ -202,24 +248,50 @@ def main():
                                   confidence_threshold=confidence,
                                   input_norm=input_norm)
 
-    styles = product_styles(args.products)
+    styles = product_styles(args.products, texture=args.texture)
     gallery = GallerySet(styles)
-    if args.embedder == "dihe":
-        encoder_fn, emb_size = load_dihe_embedder(args.dihe, gallery)
+
+    # arm specs: one detection pass per scene, every arm classifies it
+    if args.arms:
+        arm_specs = [a.strip() for a in args.arms.split(",") if a.strip()]
     else:
-        encoder_fn, emb_size = load_random_embedder()
-    classifier = Classifier(encoder_fn, emb_size, gallery, batch_size=32)
-    evaluator = PlanogramEvaluator(generator, classifier,
-                                   PlanogramComparator())
+        arm_specs = ["random" if args.embedder == "random"
+                     else f"dihe:{args.dihe}"]
 
-    # gallery self-retrieval sanity
-    self_top1 = np.mean([
-        classifier.classify(gallery[i][0][None])[0][0] == gallery[i][2]
-        for i in range(len(gallery))])
-    report(gallery_self_top1=round(float(self_top1), 4))
+    warm_clean = [gallery[i][0] for i in range(len(gallery))]
+    warm_shifted = None
+    if any("bnshift" in a for a in arm_specs):
+        from cvpce_tpu.data.synthetic import SceneCropSet
 
-    recs, precs, cls_accs, comp_err = [], [], [], []
-    rows = []
+        crops_set = SceneCropSet(styles, n=128, canvas_h=h, canvas_w=w,
+                                 domain_shift=args.domain_shift,
+                                 perspective=args.perspective)
+        # 50/50 clean gallery + deployment-domain crops: BN stats must
+        # serve BOTH sides of the index/query pair (SceneCropSet items
+        # are [0,1]; gallery items are already tanh-scale)
+        warm_shifted = warm_clean + [
+            T.scale_to_tanh(crops_set[i]) for i in range(len(crops_set))]
+
+    comparator = PlanogramComparator()
+    arms = []
+    for spec in arm_specs:
+        encoder_fn, emb_size = build_arm_embedder(
+            spec, args.dihe, warm_clean, warm_shifted)
+        classifier = Classifier(encoder_fn, emb_size, gallery,
+                                batch_size=32)
+        self_top1 = np.mean([
+            classifier.classify(gallery[i][0][None])[0][0]
+            == gallery[i][2] for i in range(len(gallery))])
+        report(arm=spec, gallery_self_top1=round(float(self_top1), 4))
+        arms.append({"spec": spec, "classifier": classifier,
+                     "cc": "cc" in spec.split("+")[1:],
+                     "rows": []})
+
+    any_cc = any(a["cc"] for a in arms)
+    if any_cc:
+        from cvpce_tpu.pipeline.colorcorrect import scene_color_correct
+
+    recs, precs = [], []
     for i in range(args.scenes):
         rng = np.random.default_rng((41, i))
         vr = 0.0 if i % 2 == 0 else args.violation_rate
@@ -232,69 +304,90 @@ def main():
             img, actual["boxes"], _ = perspective_scene(
                 img, actual["boxes"], rng, args.perspective)
 
-        # detection quality vs rendered gt
-        det = generator.generate_proposals(img)
-        rec, prec = greedy_recall(actual["boxes"], det)
-
-        # classification on gt crops (isolates the classify stage)
-        if len(actual["boxes"]):
-            crops = generator._crop_boxes(img, actual["boxes"])
-            pred = [ann[0] for ann in classifier.classify(crops)]
-            cls_acc = float(np.mean([p == l for p, l in
-                                     zip(pred, actual["labels"])]))
-        else:
-            cls_acc = float("nan")
-
+        # ONE detection pass per scene, shared by every arm
         t0 = time.perf_counter()
-        compliance = evaluator.evaluate(img, plano)
-        dt = time.perf_counter() - t0
-
-        # stage-isolation oracles: comparator on clean gt inputs
-        # (pipeline-machinery check; == expected when exact) and on
-        # gt boxes with PREDICTED labels (isolates classification).
-        comp_oracle = evaluator.comparator.compare(plano, actual, img)
-        if len(actual["boxes"]):
-            comp_cls = evaluator.comparator.compare(
-                plano, {"boxes": actual["boxes"], "labels": pred}, img)
-        else:
-            comp_cls = float("nan")
-
+        det, det_crops = generator.generate_proposals_and_images(img)
+        det_wall = time.perf_counter() - t0
+        rec, prec = greedy_recall(actual["boxes"], det)
         recs.append(rec)
         precs.append(prec)
-        cls_accs.append(cls_acc)
-        comp_err.append(abs(compliance - expected))
-        rows.append({"scene": i, "violation_rate": vr,
-                     "planned": len(plano["labels"]),
-                     "rendered": len(actual["labels"]),
-                     "detections": int(len(det)),
-                     "det_recall": round(rec, 4),
-                     "det_precision": round(prec, 4),
-                     "gt_crop_top1": round(cls_acc, 4),
-                     "compliance": round(float(compliance), 4),
-                     "compliance_oracle_gt": round(float(comp_oracle), 4),
-                     "compliance_gtboxes_predlabels":
-                         round(float(comp_cls), 4),
-                     "expected": round(float(expected), 4),
-                     "wall_s": round(dt, 3)})
-        report(**rows[-1])
 
-    report(name="SUMMARY",
-           mean_oracle_compliance_err=round(float(np.mean(
-               [abs(r["compliance_oracle_gt"] - r["expected"])
-                for r in rows])), 4),
-           mean_det_recall=round(float(np.mean(recs)), 4),
-           mean_det_precision=round(float(np.mean(precs)), 4),
-           mean_gt_crop_top1=round(float(np.nanmean(cls_accs)), 4),
-           mean_abs_compliance_err=round(float(np.mean(comp_err)), 4),
-           intact_compliance=round(float(np.mean(
-               [r["compliance"] for r in rows
-                if r["violation_rate"] == 0])), 4),
-           violated_compliance=round(float(np.mean(
-               [r["compliance"] for r in rows
-                if r["violation_rate"] > 0])), 4),
-           violated_expected=round(float(np.mean(
-               [r["expected"] for r in rows
-                if r["violation_rate"] > 0])), 4))
+        gt_crops = (generator._crop_boxes(img, actual["boxes"])
+                    if len(actual["boxes"]) else None)
+        if any_cc:
+            img_cc = scene_color_correct(img)
+            det_crops_cc = (generator._crop_boxes(img_cc, det)
+                            if len(det) else det_crops)
+            gt_crops_cc = (generator._crop_boxes(img_cc, actual["boxes"])
+                           if len(actual["boxes"]) else None)
+
+        for arm in arms:
+            classifier = arm["classifier"]
+            a_img = img_cc if arm["cc"] else img
+            a_det_crops = det_crops_cc if arm["cc"] else det_crops
+            a_gt_crops = gt_crops_cc if arm["cc"] else gt_crops
+
+            t0 = time.perf_counter()
+            classes = ([ann[0] for ann in classifier.classify(a_det_crops)]
+                       if len(a_det_crops) else [])
+            compliance, _, _ = comparator.compare_detailed(
+                plano, {"boxes": det, "labels": classes}, a_img,
+                classifier)
+            dt = det_wall + time.perf_counter() - t0
+
+            if a_gt_crops is not None:
+                pred = [ann[0] for ann in classifier.classify(a_gt_crops)]
+                cls_acc = float(np.mean([p == l for p, l in
+                                         zip(pred, actual["labels"])]))
+                comp_cls = comparator.compare(
+                    plano, {"boxes": actual["boxes"], "labels": pred},
+                    a_img)
+            else:
+                cls_acc = comp_cls = float("nan")
+            comp_oracle = comparator.compare(plano, actual, img)
+
+            row = {"scene": i, "arm": arm["spec"], "violation_rate": vr,
+                   "planned": len(plano["labels"]),
+                   "rendered": len(actual["labels"]),
+                   "detections": int(len(det)),
+                   "det_recall": round(rec, 4),
+                   "det_precision": round(prec, 4),
+                   "gt_crop_top1": round(cls_acc, 4),
+                   "compliance": round(float(compliance), 4),
+                   "compliance_oracle_gt": round(float(comp_oracle), 4),
+                   "compliance_gtboxes_predlabels":
+                       round(float(comp_cls), 4),
+                   "expected": round(float(expected), 4),
+                   "wall_s": round(dt, 3)}
+            arm["rows"].append(row)
+            report(**row)
+
+    for arm in arms:
+        rows = arm["rows"]
+        comp_err = [abs(r["compliance"] - r["expected"]) for r in rows]
+        n_int = max(1, sum(r["violation_rate"] == 0 for r in rows))
+        # scene-level SE of the composed error (VERDICT r4 #5)
+        se = float(np.std(comp_err, ddof=1) / np.sqrt(len(comp_err))) \
+            if len(comp_err) > 1 else 0.0
+        report(name="SUMMARY", arm=arm["spec"], scenes=len(rows),
+               mean_oracle_compliance_err=round(float(np.mean(
+                   [abs(r["compliance_oracle_gt"] - r["expected"])
+                    for r in rows])), 4),
+               mean_det_recall=round(float(np.mean(recs)), 4),
+               mean_det_precision=round(float(np.mean(precs)), 4),
+               mean_gt_crop_top1=round(float(np.nanmean(
+                   [r["gt_crop_top1"] for r in rows])), 4),
+               mean_abs_compliance_err=round(float(np.mean(comp_err)), 4),
+               compliance_err_se=round(se, 4),
+               intact_compliance=round(float(np.sum(
+                   [r["compliance"] for r in rows
+                    if r["violation_rate"] == 0]) / n_int), 4),
+               violated_compliance=round(float(np.mean(
+                   [r["compliance"] for r in rows
+                    if r["violation_rate"] > 0] or [0.0])), 4),
+               violated_expected=round(float(np.mean(
+                   [r["expected"] for r in rows
+                    if r["violation_rate"] > 0] or [0.0])), 4))
 
 
 if __name__ == "__main__":
