@@ -134,11 +134,16 @@ def eval_product_detection(gln_weights, encoder_weights, source, test_imgs,
               help="internal planoset dir instead of GP-180")
 @click.option("--verbose", is_flag=True,
               help="include per-image results (cvpce/cli/eval.py:189)")
+@click.option("--color-correct", is_flag=True,
+              help="remove the scene-level white-balance cast from the "
+                   "classify crops (pipeline/colorcorrect.py); "
+                   "detection input stays raw")
 @click.option("--out", default=None)
 def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
                     test_annotations, index, confidence, fast,
                     canvas, max_detections, nms_candidates,
-                    sharded_gallery, plano_dir, internal, verbose, out):
+                    sharded_gallery, plano_dir, internal, verbose,
+                    color_correct, out):
     """End-to-end compliance eval: mean accuracy + MSE vs ground truth
     (cvpce/cli/eval.py:160-240)."""
     from ..data.planograms import InternalPlanoSet, PlanogramTestSet
@@ -154,7 +159,8 @@ def eval_planograms(gln_weights, encoder_weights, source, test_imgs,
     else:
         planoset = PlanogramTestSet(test_imgs, test_annotations, plano_dir)
     evaluator = PlanogramEvaluator(generator, classifier,
-                                   PlanogramComparator())
+                                   PlanogramComparator(),
+                                   color_correct=color_correct)
     result = evaluate_planograms(evaluator, planoset)
     click.echo(json.dumps({k: v for k, v in result.items()
                            if verbose or k != "per_image"}, indent=2))

@@ -29,8 +29,11 @@ def misc():
                    "to --gln-weights, else the reference's fixed 0.5")
 @click.option("--canvas", nargs=2, type=int, default=(832, 1344),
               show_default=True, help="detector canvas (h w)")
+@click.option("--color-correct", is_flag=True,
+              help="remove the scene-level white-balance cast from the "
+                   "classify crops (pipeline/colorcorrect.py)")
 def pipeline_demo(image, gallery, plano_path, gln_weights, encoder_weights,
-                  confidence, canvas):
+                  confidence, canvas, color_correct):
     """End-to-end demo on an arbitrary folder dataset + JSON planogram
     (cvpce/cli/misc.py:104-253)."""
     import numpy as np
@@ -79,7 +82,8 @@ def pipeline_demo(image, gallery, plano_path, gln_weights, encoder_weights,
     }
     img = T.load_image(image)
     evaluator = PlanogramEvaluator(generator, classifier,
-                                   PlanogramComparator())
+                                   PlanogramComparator(),
+                                   color_correct=color_correct)
     compliance = evaluator.evaluate(img, planogram)
     click.echo(json.dumps({"compliance": float(compliance)}))
 

@@ -108,12 +108,24 @@ class PlanogramComparator:
 
 
 class PlanogramEvaluator:
-    """generator -> classifier -> comparator (cvpce/production.py:118-129)."""
+    """generator -> classifier -> comparator (cvpce/production.py:118-129).
 
-    def __init__(self, proposal_generator, classifier, comparator):
+    color_correct=True removes the scene-level photometric state
+    (white-balance cast — pipeline/colorcorrect.py) from the CLASSIFY
+    leg only: detection runs on the raw image (the detector is served
+    shift-augmented), while classification crops — including the
+    comparator's second-chance reclassification crops — come from the
+    corrected scene. Near-no-op on in-domain scenes (gains ~1), so it
+    is safe to leave on for mixed deployments; the reference has no
+    equivalent stage (its GAN addresses the same gap at training time,
+    cvpce/classification_training.py:303-320)."""
+
+    def __init__(self, proposal_generator, classifier, comparator,
+                 color_correct: bool = False):
         self.proposal_generator = proposal_generator
         self.classifier = classifier
         self.comparator = comparator
+        self.color_correct = color_correct
 
     def evaluate(self, image: np.ndarray, planogram: Dict) -> float:
         return self.evaluate_detailed(image, planogram)[0]
@@ -121,11 +133,21 @@ class PlanogramEvaluator:
     def evaluate_detailed(self, image: np.ndarray, planogram: Dict):
         """(compliance, per-expected-slot found mask or None, path) —
         see PlanogramComparator.compare_detailed."""
-        boxes, crops = \
-            self.proposal_generator.generate_proposals_and_images(image)
+        if self.color_correct:
+            from .colorcorrect import scene_color_correct
+
+            corrected = scene_color_correct(image)
+            boxes = self.proposal_generator.generate_proposals(image)
+            crops = (self.proposal_generator._crop_boxes(corrected, boxes)
+                     if len(boxes) else np.zeros((0,), np.float32))
+            cls_image = corrected
+        else:
+            boxes, crops = \
+                self.proposal_generator.generate_proposals_and_images(image)
+            cls_image = image
         classes = [ann[0] for ann in self.classifier.classify(crops)] \
             if len(crops) else []
         return self.comparator.compare_detailed(
             planogram, {"boxes": boxes, "labels": classes},
-            image, self.classifier,
+            cls_image, self.classifier,
         )

@@ -42,3 +42,17 @@ def test_pipeline_demo_synthetic(tmp_path):
     assert result.exit_code == 0, result.output
     out = json.loads(result.output.strip().splitlines()[-1])
     assert 0.0 <= out["compliance"] <= 1.0
+
+    # serving-side color correction path (classify crops from the
+    # corrected scene; detection input stays raw)
+    result = CliRunner().invoke(cli, [
+        "misc", "pipeline-demo", str(img_path),
+        "--gallery", str(gallery),
+        "--planogram", str(plano_path),
+        "--confidence", "0.0",
+        "--canvas", "64", "64",
+        "--color-correct",
+    ])
+    assert result.exit_code == 0, result.output
+    out = json.loads(result.output.strip().splitlines()[-1])
+    assert 0.0 <= out["compliance"] <= 1.0
