@@ -70,6 +70,35 @@ def estimate_illumination_field(img: np.ndarray,
     return np.clip(field, 0.5, 2.0)[..., None].astype(np.float32)
 
 
+def gallery_feedback_gains(crop_means: np.ndarray,
+                           matched_gallery_means: np.ndarray) -> np.ndarray:
+    """Self-calibrating white balance against the catalog.
+
+    Gray-world assumes the scene averages to neutral; the pipeline can
+    do better, because it HOLDS the deployment gallery: classify the
+    crops once, then estimate the scene's cast as the median per-channel
+    ratio between each crop's color and its matched gallery entry's
+    color, and re-classify under the corrected cast. The median is
+    robust to misclassified crops as long as the majority match (at
+    top-1 >=0.5 the majority's ratios all estimate the SAME scene-level
+    cast, while errors scatter) — an EM step whose E is the classifier.
+
+    crop_means / matched_gallery_means: (N, 3) center-region mean RGB of
+    each detected crop ([0,1] scale) and of the gallery render of its
+    predicted label. Returns (3,) gains, clipped to [0.5, 2.0].
+    """
+    ratios = matched_gallery_means / np.clip(crop_means, 1e-3, None)
+    gains = np.median(ratios, axis=0)
+    return np.clip(gains, 0.5, 2.0).astype(np.float32)
+
+
+def center_mean_rgb(img01: np.ndarray) -> np.ndarray:
+    """Mean RGB of the central half-crop (border/neighbor-free)."""
+    h, w = img01.shape[:2]
+    return img01[h // 4: 3 * h // 4, w // 4: 3 * w // 4].reshape(
+        -1, 3).mean(axis=0)
+
+
 def scene_color_correct(img: np.ndarray,
                         flatten_illumination: bool = False) -> np.ndarray:
     """Remove the scene-level photometric state from a shelf photo.

@@ -176,7 +176,11 @@ def main():
                          "statistics color correction of the classify "
                          "crops, pipeline/colorcorrect.py), bnshift "
                          "(BN stats adapted on shifted scene crops "
-                         "instead of clean gallery renders)}. "
+                         "instead of clean gallery renders), ccg "
+                         "(self-calibrating white balance against the "
+                         "catalog: classify raw crops, estimate the "
+                         "cast from crop-to-matched-gallery color "
+                         "ratios, re-classify corrected crops)}. "
                          "Overrides --embedder/--dihe.")
     ap.add_argument("--scenes", type=int, default=12)
     ap.add_argument("--products", type=int, default=12)
@@ -283,13 +287,24 @@ def main():
             classifier.classify(gallery[i][0][None])[0][0]
             == gallery[i][2] for i in range(len(gallery))])
         report(arm=spec, gallery_self_top1=round(float(self_top1), 4))
+        opts = spec.split("+")[1:]
         arms.append({"spec": spec, "classifier": classifier,
-                     "cc": "cc" in spec.split("+")[1:],
+                     "cc": "cc" in opts, "ccg": "ccg" in opts,
                      "rows": []})
 
     any_cc = any(a["cc"] for a in arms)
+    any_ccg = any(a["ccg"] for a in arms)
     if any_cc:
         from cvpce_tpu.pipeline.colorcorrect import scene_color_correct
+    if any_ccg:
+        from cvpce_tpu.pipeline.colorcorrect import (center_mean_rgb,
+                                                     gallery_feedback_gains)
+
+        # catalog colors for the self-calibrating white balance (ccg):
+        # gallery items are tanh-scale
+        gal_mean = {gallery[i][2]:
+                    center_mean_rgb((gallery[i][0] + 1.0) * 0.5)
+                    for i in range(len(gallery))}
 
     recs, precs = [], []
     for i in range(args.scenes):
@@ -326,6 +341,23 @@ def main():
             a_img = img_cc if arm["cc"] else img
             a_det_crops = det_crops_cc if arm["cc"] else det_crops
             a_gt_crops = gt_crops_cc if arm["cc"] else gt_crops
+            if arm["ccg"] and len(det_crops):
+                # self-calibrating white balance vs the catalog
+                # (pipeline/colorcorrect.py:gallery_feedback_gains):
+                # classify raw crops, estimate the scene cast from
+                # crop<->matched-gallery color ratios, re-serve the
+                # corrected crops/scene
+                classes0 = [ann[0] for ann in
+                            classifier.classify(det_crops)]
+                crops01 = (det_crops + 1.0) * 0.5
+                cm = np.stack([center_mean_rgb(c) for c in crops01])
+                gm = np.stack([gal_mean[l] for l in classes0])
+                gains = gallery_feedback_gains(cm, gm)
+                a_img = np.clip(img * gains, 0.0, 1.0)
+                a_det_crops = np.clip(crops01 * gains, 0, 1) * 2.0 - 1.0
+                if gt_crops is not None:
+                    a_gt_crops = np.clip(
+                        (gt_crops + 1.0) * 0.5 * gains, 0, 1) * 2.0 - 1.0
 
             t0 = time.perf_counter()
             classes = ([ann[0] for ann in classifier.classify(a_det_crops)]

@@ -6,6 +6,7 @@ from cvpce_tpu.data.synthetic import (_augment_scene, _texture_field,
                                       apply_domain_shift,
                                       product_gallery_image, product_styles)
 from cvpce_tpu.pipeline.colorcorrect import (estimate_gray_world_gains,
+                                             gallery_feedback_gains,
                                              scene_color_correct)
 
 
@@ -48,6 +49,22 @@ def test_correction_reduces_distance_to_clean():
         d_raw.append(np.abs(shifted - img).mean())
         d_cc.append(np.abs(corrected - img).mean())
     assert np.mean(d_cc) < np.mean(d_raw)
+
+
+def test_gallery_feedback_gains_robust_to_label_noise():
+    """Self-calibrating white balance: with 60% correct matches, the
+    median crop<->gallery color ratio recovers the scene cast even
+    though 40% of the pairs are mismatched."""
+    rng = np.random.default_rng(4)
+    gal = rng.uniform(0.2, 0.9, (64, 3)).astype(np.float32)
+    cast = np.asarray([1.3, 0.95, 0.7], np.float32)
+    labels = rng.integers(0, 64, 200)
+    crops = gal[labels] * cast
+    pred = labels.copy()
+    wrong = rng.random(200) < 0.4
+    pred[wrong] = rng.integers(0, 64, int(wrong.sum()))
+    gains = gallery_feedback_gains(crops, gal[pred])
+    assert np.all(np.abs(gains * cast - 1.0) < 0.12)
 
 
 def test_texture_field_range_and_determinism():
